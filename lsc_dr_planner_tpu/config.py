@@ -1,0 +1,264 @@
+"""Planner configuration.
+
+Typed equivalent of the reference's ROS-param struct (reference:
+include/param.hpp:10-109, src/param.cpp:5-173) plus the planner-mode
+consistency rules the reference applies at runtime
+(src/param.cpp:127-170, src/traj_planner.cpp:141-222).
+
+Defaults follow launch/simulation.launch (the benchmark configuration)
+where it sets a value, falling back to param.cpp defaults otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class PlannerMode(enum.IntEnum):
+    DLSC = 0
+    LSC = 1
+    BVC = 2
+    ORCA = 3
+    RECIPROCAL_RSFC = 4
+    CIRCLE_TEST = 5
+
+
+class PredictionMode(enum.IntEnum):
+    POSITION = 0
+    VELOCITY = 1
+    ORCA = 2
+    PREVIOUS_SOLUTION = 3
+
+
+class InitialTrajMode(enum.IntEnum):
+    POSITION = 0
+    VELOCITY = 1
+    ORCA = 2
+    PREVIOUS_SOLUTION = 3
+    SKIP = 4
+
+
+class SlackMode(enum.IntEnum):
+    NONE = 0
+    CONTINUITY = 1
+    COLLISION_CONSTRAINT = 2
+
+
+class GoalMode(enum.IntEnum):
+    STATIC = 0
+    ORCA = 1
+    RIGHT_HAND = 2
+    PRIOR_BASED = 3
+    DYNAMIC_PRIORITY = 4
+    ENTROPY = 5
+    GRID_BASED_PLANNER = 6
+
+
+class MAPFMode(enum.IntEnum):
+    PIBT = 0
+    ECBS = 1
+
+
+_PLANNER_MODE_STRS = {
+    PlannerMode.DLSC: "DLSC",
+    PlannerMode.LSC: "LSC",
+    PlannerMode.BVC: "BVC",
+    PlannerMode.ORCA: "ORCA",
+    PlannerMode.RECIPROCAL_RSFC: "ReciprocalRSFC",
+    PlannerMode.CIRCLE_TEST: "CircleTest",
+}
+
+_GOAL_MODE_STRS = {
+    GoalMode.STATIC: "static",
+    GoalMode.ORCA: "orca",
+    GoalMode.RIGHT_HAND: "right_hand",
+    GoalMode.PRIOR_BASED: "prior_based",
+    GoalMode.DYNAMIC_PRIORITY: "dynamic_priority",
+    GoalMode.ENTROPY: "entropy",
+    GoalMode.GRID_BASED_PLANNER: "grid_based_planner",
+}
+
+
+@dataclasses.dataclass
+class Param:
+    # Logging
+    log_solver: bool = False
+    log_vis: bool = True
+    package_path: str = "."
+
+    # World
+    world_frame_id: str = "world"
+    world_dimension: int = 2
+    world_use_octomap: bool = True
+    world_resolution: float = 0.1
+    world_z_2d: float = 0.6
+    world_use_global_map: bool = True
+    world_max_dist: float = 1.0
+
+    # Multisim
+    multisim_patrol: bool = False
+    multisim_time_step: float = 0.2
+    multisim_planning_rate: int = -1
+    multisim_max_noise: float = 0.0
+    multisim_max_planner_iteration: int = 600
+    multisim_save_result: bool = False
+    multisim_save_mission: bool = False
+    multisim_save_time_step: float = 0.1
+
+    # Planner modes
+    planner_mode: PlannerMode = PlannerMode.LSC
+    prediction_mode: PredictionMode = PredictionMode.PREVIOUS_SOLUTION
+    initial_traj_mode: InitialTrajMode = InitialTrajMode.PREVIOUS_SOLUTION
+    slack_mode: SlackMode = SlackMode.NONE
+    goal_mode: GoalMode = GoalMode.GRID_BASED_PLANNER
+    mapf_mode: MAPFMode = MAPFMode.PIBT
+
+    # Obstacle prediction
+    obs_size_prediction: bool = True
+    obs_uncertainty_horizon: float = 1.0
+    obs_agent_clustering: bool = False
+    use_velocity_guard: bool = True
+    velocity_guard_ratio: float = 0.75
+
+    # Trajectory representation
+    dt: float = 0.2
+    M: int = 10
+    n: int = 5
+    phi: int = 3
+    phi_n: int = 1
+
+    # Trajectory optimization
+    control_input_weight: float = 0.01
+    terminal_weight: float = 1.0
+    slack_collision_weight: float = 1.0
+    slack_dynamic_weight: float = 1.0
+
+    # QP solver (TPU ADMM; replaces the reference's CPLEX settings)
+    qp_max_iter: int = 200
+    qp_rho: float = 0.1
+    qp_rho_eq: float = 1000.0
+    qp_sigma: float = 1e-6
+    qp_alpha: float = 1.6
+    qp_eps_abs: float = 1e-4
+    qp_polish: bool = True
+
+    # Deadlock
+    deadlock_velocity_threshold: float = 0.1
+    deadlock_seq_threshold: int = 5
+
+    # Filter (KF; real-experiment path)
+    filter_sigma_y_sq: float = 0.0036
+    filter_sigma_v_sq: float = 0.01
+    filter_sigma_a_sq: float = 1.0
+
+    # ORCA
+    orca_horizon: float = 2.0
+    orca_inflation_ratio: float = 1.5
+    orca_pref_velocity_ratio: float = 1.0
+
+    # Grid-based planner
+    grid_resolution: float = 0.5
+    grid_margin: float = 0.0
+
+    # Goal
+    goal_threshold: float = 0.1
+    goal_radius: float = 100.0
+    priority_agent_distance: float = 0.4
+    priority_obs_distance: float = 1.0
+    priority_goal_threshold: float = 0.6
+    reset_threshold: float = 0.5
+    slack_threshold: float = 0.001
+    obs_downwash_threshold: float = 3.0
+    collision_alert_threshold: float = 1.0
+    density_alert_threshold: float = 0.001
+    closest_agent_threshold: float = 0.1
+
+    # SFC
+    numerical_error_threshold: float = 0.01
+
+    # Communication
+    communication_range: float = 3.0
+
+    # Exploration
+    sensor_range: float = 3.0
+
+    # Batching: maximum number of neighbor obstacles an agent considers in
+    # one planning step (constraint tensors are padded to this; extra rows
+    # are masked out). The reference uses dynamic std::vector sizes; TPU
+    # kernels need static shapes.
+    max_obstacles: int = 16
+
+    def __post_init__(self):
+        self.apply_mode_rules()
+
+    # ------------------------------------------------------------------
+    def apply_mode_rules(self) -> None:
+        """Planner-mode-implied settings and consistency checks.
+
+        Mirrors src/param.cpp:127-170 (mode-implied prediction / initial
+        traj / slack modes) and traj_planner.cpp:141-222 (auto-fixes).
+        """
+        pm = self.planner_mode
+        if pm == PlannerMode.DLSC:
+            self.prediction_mode = PredictionMode.PREVIOUS_SOLUTION
+            self.initial_traj_mode = InitialTrajMode.PREVIOUS_SOLUTION
+            if self.multisim_time_step > self.dt:
+                raise ValueError("DLSC requires multisim_time_step <= traj dt")
+            self.slack_mode = (
+                SlackMode.NONE
+                if self.multisim_time_step == self.dt
+                else SlackMode.CONTINUITY
+            )
+        elif pm == PlannerMode.LSC:
+            if self.multisim_time_step != self.dt:
+                raise ValueError("LSC requires multisim_time_step == traj dt")
+            self.prediction_mode = PredictionMode.PREVIOUS_SOLUTION
+            self.initial_traj_mode = InitialTrajMode.PREVIOUS_SOLUTION
+            self.slack_mode = SlackMode.NONE
+        elif pm == PlannerMode.BVC:
+            self.prediction_mode = PredictionMode.POSITION
+            self.initial_traj_mode = InitialTrajMode.POSITION
+            self.slack_mode = SlackMode.NONE
+        elif pm == PlannerMode.RECIPROCAL_RSFC:
+            self.prediction_mode = PredictionMode.VELOCITY
+            self.initial_traj_mode = InitialTrajMode.ORCA
+            self.slack_mode = SlackMode.COLLISION_CONSTRAINT
+        elif pm == PlannerMode.CIRCLE_TEST:
+            self.prediction_mode = PredictionMode.VELOCITY
+            self.initial_traj_mode = InitialTrajMode.VELOCITY
+            self.slack_mode = SlackMode.NONE
+
+    # ------------------------------------------------------------------
+    @property
+    def n_ctrl(self) -> int:
+        return self.n + 1
+
+    @property
+    def n_vars(self) -> int:
+        """QP decision variables per agent (control points only)."""
+        return self.world_dimension * self.M * (self.n + 1)
+
+    @property
+    def horizon(self) -> float:
+        return self.M * self.dt
+
+    def planner_mode_str(self) -> str:
+        return _PLANNER_MODE_STRS[self.planner_mode]
+
+    def goal_mode_str(self) -> str:
+        return _GOAL_MODE_STRS[self.goal_mode]
+
+    def mapf_mode_str(self) -> str:
+        return "pibt" if self.mapf_mode == MAPFMode.PIBT else "ecbs"
+
+    def replace(self, **kwargs) -> "Param":
+        p = dataclasses.replace(self, **kwargs)
+        return p
+
+
+# Small numerical epsilons (reference: include/sp_const.hpp)
+SP_EPSILON = 1e-9
+SP_EPSILON_FLOAT = 1e-6
+SP_INFINITY = 1e9
