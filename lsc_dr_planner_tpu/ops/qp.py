@@ -1,0 +1,432 @@
+"""Batched trajectory QP — the TPU replacement for per-agent CPLEX.
+
+Solves, for every agent at once, the reference's control-point QP
+(reference: TrajOptimizer::solve/populatebyrow,
+src/traj_optimizer.cpp:18-156, 216-514):
+
+    min  w_ci Σ_m c_mᵀ Q c_m  +  w_term Σ_{terminal m} ‖c_{m,n} − g‖²
+    s.t. c_{0,0..2} pinned to the initial state
+         C²-continuity at segment junctions
+         stop-at-horizon (LSC mode)
+         LSC half-spaces per (obstacle, segment, ctrl point)
+         |vel|, |acc| control-point bounds
+         communication-range pair coupling
+         world ∩ SFC ∩ waypoint-range variable bounds
+
+TPU-first solver design:
+
+  * ALL equality constraints (pins, junctions, continuity, stop) are
+    data-independent per spatial dimension, so they are eliminated
+    offline through a static orthonormal nullspace basis: x = x_p + N·ξ.
+    Equalities hold exactly (to matmul precision), the reduced problem
+    is inequality-only, and the ADMM KKT matrix is well-conditioned in
+    float32 (the reference instead pins them as CPLEX rows,
+    traj_optimizer.cpp:318-353).
+  * The reduced problem is solved by OSQP-style ADMM with a per-agent
+    dense KKT factored once by batched Cholesky, fixed-bound iteration
+    loop with primal+dual convergence masking, vmapped over the fleet —
+    one fused batched solve per planning step.
+  * Warm-started from the initial trajectory (feasible by LSC
+    construction), so steady-state replanning converges in few
+    iterations. Non-converged agents are reported so the caller applies
+    the reference's failsafe (keep the initial trajectory,
+    traj_planner.cpp:795-797).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsc_dr_planner_tpu.ops import bernstein
+
+_INF = 1e20
+
+
+class QPConfig(NamedTuple):
+    dim: int
+    M: int
+    n: int
+    phi: int
+    n_obs: int  # padded obstacle slots O
+    use_comm: bool
+    stop_at_horizon: bool
+    dt: float
+    control_input_weight: float
+    terminal_weight: float
+    rho: float
+    rho_eq: float  # unused (equalities are eliminated); kept for config parity
+    sigma: float
+    alpha: float
+    max_iter: int
+    eps_abs: float
+
+    @property
+    def N(self):
+        return self.n + 1
+
+    @property
+    def n_vars(self):
+        return self.dim * self.M * self.N
+
+
+class QPInputs(NamedTuple):
+    """Per-agent problem data; every leaf has a leading agent axis."""
+
+    p0: jnp.ndarray  # [A, dim]
+    v0: jnp.ndarray  # [A, dim]
+    a0: jnp.ndarray  # [A, dim]
+    goal: jnp.ndarray  # [A, dim]
+    terminal_mask: jnp.ndarray  # [A, M] ∈ {0,1}: segments with goal cost
+    lsc_normals: jnp.ndarray  # [A, O, M, dim]
+    lsc_rhs: jnp.ndarray  # [A, O, M, N]  (n·anchor + margin, dim-restricted)
+    lsc_active: jnp.ndarray  # [A, O, M, N] bool
+    vmax: jnp.ndarray  # [A, dim]
+    amax: jnp.ndarray  # [A, dim]
+    lb: jnp.ndarray  # [A, dim, M, N]
+    ub: jnp.ndarray  # [A, dim, M, N]
+    comm_halfrange: jnp.ndarray  # [A] (0.5·R − r; big disables)
+    x0: jnp.ndarray  # [A, dim, M, N] warm start (initial trajectory)
+
+
+class QPResult(NamedTuple):
+    x: jnp.ndarray  # [A, dim, M, N] control points
+    converged: jnp.ndarray  # [A] bool
+    primal_residual: jnp.ndarray  # [A] max constraint violation (unscaled)
+    iterations: jnp.ndarray  # [A] int
+    objective: jnp.ndarray  # [A]
+
+
+# ----------------------------------------------------------------------
+# static equality elimination
+# ----------------------------------------------------------------------
+
+
+def pinned_values(cfg: QPConfig, p0, v0, a0):
+    """Exact initial control points from the initial state:
+    c0 = p, c1 = p + dt/n·v, c2 = dt²/(n(n−1))·a + 2c1 − c0."""
+    n, dt = cfg.n, cfg.dt
+    c0 = p0
+    c1 = p0 + v0 * (dt / n)
+    c2 = a0 * (dt * dt / (n * (n - 1))) + 2 * c1 - c0
+    return jnp.stack([c0, c1, c2], axis=-1)  # [..., dim, phi]
+
+
+def apply_pin(cfg: QPConfig, x, pins):
+    return x.at[..., 0, : cfg.phi].set(pins)
+
+
+@functools.lru_cache(maxsize=None)
+def _equality_basis(M: int, n: int, phi: int, dt: float, stop: bool):
+    """Per-dimension equality system E x = e over the flattened segment
+    control points (x ∈ R^{M·(n+1)}), with e = [0,…,0, pinned values].
+
+    Returns (N_null [MN, K] orthonormal nullspace basis,
+             X_pin [MN, phi] particular-solution map from pin values).
+    """
+    NN = n + 1
+    MN = M * NN
+
+    def idx(m, i):
+        return m * NN + i
+
+    rows = []
+    # junction between segments 0 and 1: pos / vel / acc differences
+    r = np.zeros(MN)
+    r[idx(0, n)] = 1
+    r[idx(1, 0)] = -1
+    rows.append(r)
+    r = np.zeros(MN)
+    r[idx(1, 1)] = 1
+    r[idx(1, 0)] = -1
+    r[idx(0, n)] = -1
+    r[idx(0, n - 1)] = 1
+    rows.append(r)
+    r = np.zeros(MN)
+    r[idx(1, 2)] = 1
+    r[idx(1, 1)] = -2
+    r[idx(1, 0)] = 1
+    r[idx(0, n)] = -1
+    r[idx(0, n - 1)] = 2
+    r[idx(0, n - 2)] = -1
+    rows.append(r)
+    # junctions m = 2..M-1
+    rows.extend(bernstein.continuity_matrix(M, n, phi, dt))
+    # stop at horizon
+    if stop:
+        for i in range(1, phi):
+            r = np.zeros(MN)
+            r[idx(M - 1, n)] = 1
+            r[idx(M - 1, n - i)] = -1
+            rows.append(r)
+    E_static = np.asarray(rows)
+    pinrows = np.zeros((phi, MN))
+    for i in range(phi):
+        pinrows[i, idx(0, i)] = 1
+    E = np.vstack([E_static, pinrows])
+
+    _, s, vt = np.linalg.svd(E)
+    rank = int((s > 1e-9).sum())
+    N_null = vt[rank:].T  # orthonormal columns
+
+    # Particular solution X_pin: minimum-JERK trajectory satisfying the
+    # equalities (not the min-norm one — the pseudo-inverse solution has
+    # large jerk, which poisons the reduced linear cost q_ξ and the
+    # ADMM's relative dual tolerance).
+    P_reg = np.kron(np.eye(M), bernstein.jerk_cost_matrix(n, phi, 1, dt)) + 1e-6 * np.eye(MN)
+    neq = E.shape[0]
+    KKT = np.block([[P_reg, E.T], [E, np.zeros((neq, neq))]])
+    rhs = np.zeros((MN + neq, phi))
+    rhs[MN + E_static.shape[0] :, :] = np.eye(phi)
+    X_pin = np.linalg.solve(KKT, rhs)[:MN]
+    return N_null, X_pin
+
+
+def reduced_dim(cfg: QPConfig) -> int:
+    N_null, _ = _equality_basis(cfg.M, cfg.n, cfg.phi, cfg.dt, cfg.stop_at_horizon)
+    return cfg.dim * N_null.shape[1]
+
+
+# ----------------------------------------------------------------------
+# structured inequality operator (single agent; vmapped by the solver)
+# ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _comm_pairs(M: int):
+    pairs = [(mi, m) for mi in range(M) for m in range(mi, M)]
+    a = np.asarray(pairs, dtype=np.int32)
+    return a[:, 0], a[:, 1]
+
+
+def row_blocks(cfg: QPConfig):
+    """Static row counts per inequality family, in flat-vector order."""
+    dim, M, n, N = cfg.dim, cfg.M, cfg.n, cfg.N
+    return {
+        "lsc": cfg.n_obs * M * N,
+        "vel": dim * M * n,
+        "acc": dim * M * (n - 1),
+        "comm": dim * (M * (M + 1) // 2) if cfg.use_comm else 0,
+        "bound": dim * M * N,
+    }
+
+
+def constraint_rows(cfg: QPConfig, x, lsc_normals):
+    """A·x as a flat vector; x: [dim, M, N] (full control-point tensor)."""
+    dim, M, n, N = cfg.dim, cfg.M, cfg.n, cfg.N
+    rows = []
+    # LSC: Σ_k n_k·x[k, m, i]
+    rows.append(jnp.einsum("omk,kmi->omi", lsc_normals, x).reshape(-1))
+    # velocity first differences (unit row scale)
+    rows.append((x[..., 1:] - x[..., :-1]).reshape(-1))
+    # acceleration second differences
+    rows.append((x[..., 2:] - 2 * x[..., 1:-1] + x[..., :-2]).reshape(-1))
+    # communication pairs
+    if cfg.use_comm:
+        mi, mm = _comm_pairs(M)
+        rows.append((x[:, mm, n] - x[:, mi, 0]).reshape(-1))
+    # variable bounds (identity)
+    rows.append(x.reshape(-1))
+    return jnp.concatenate(rows)
+
+
+def constraint_bounds(cfg: QPConfig, inp_leaf):
+    """(l, u, rho) flat row vectors for ONE agent (inequalities only)."""
+    dim, M, n, N, phi = cfg.dim, cfg.M, cfg.n, cfg.N, cfg.phi
+    dt = cfg.dt
+    dtype = inp_leaf.p0.dtype
+    ls, us, rs = [], [], []
+
+    def add(l, u, rho):
+        ls.append(l.reshape(-1))
+        us.append(u.reshape(-1))
+        rs.append(jnp.full(l.size, rho, dtype=dtype))
+
+    # LSC
+    lsc_l = jnp.where(inp_leaf.lsc_active, inp_leaf.lsc_rhs, -_INF)
+    add(lsc_l, jnp.full_like(lsc_l, _INF), cfg.rho)
+
+    # velocity: |Δ| ≤ vmax·dt/n; skip m=0, i<2 (involves pinned points)
+    vcap = (inp_leaf.vmax * dt / n)[:, None, None] * jnp.ones((dim, M, n), dtype)
+    vmask = np.ones((M, n), dtype=bool)
+    vmask[0, :2] = False
+    vcap = jnp.where(jnp.asarray(vmask)[None], vcap, _INF)
+    add(-vcap, vcap, cfg.rho)
+
+    # acceleration: |Δ²| ≤ amax·dt²/(n(n−1)); skip m=0, i=0
+    acap = (inp_leaf.amax * dt * dt / (n * (n - 1)))[:, None, None] * jnp.ones(
+        (dim, M, n - 1), dtype
+    )
+    amask = np.ones((M, n - 1), dtype=bool)
+    amask[0, 0] = False
+    acap = jnp.where(jnp.asarray(amask)[None], acap, _INF)
+    add(-acap, acap, cfg.rho)
+
+    if cfg.use_comm:
+        npairs = M * (M + 1) // 2
+        ccap = jnp.broadcast_to(
+            inp_leaf.comm_halfrange, (dim, npairs)
+        ).astype(dtype)
+        add(-ccap, ccap, cfg.rho)
+
+    # bounds; pinned entries vacuous (their value is fixed by elimination)
+    pm = np.zeros((dim, M, N), dtype=bool)
+    pm[:, 0, :phi] = True
+    lb = jnp.where(jnp.asarray(pm), -_INF, inp_leaf.lb)
+    ub = jnp.where(jnp.asarray(pm), _INF, inp_leaf.ub)
+    add(lb, ub, cfg.rho)
+
+    return jnp.concatenate(ls), jnp.concatenate(us), jnp.concatenate(rs)
+
+
+# ----------------------------------------------------------------------
+# cost
+# ----------------------------------------------------------------------
+
+
+def cost_matrices(cfg: QPConfig, inp_leaf):
+    """(P_seg [N,N] jerk block, tdiag [M] terminal diagonal, q [dim,M,N])."""
+    dtype = inp_leaf.p0.dtype
+    M, n, N = cfg.M, cfg.n, cfg.N
+    Q = jnp.asarray(bernstein.jerk_cost_matrix(n, cfg.phi, 1, cfg.dt), dtype=dtype)
+    P_seg = 2.0 * cfg.control_input_weight * Q
+    tdiag = 2.0 * cfg.terminal_weight * inp_leaf.terminal_mask  # [M]
+    q = jnp.zeros((cfg.dim, M, N), dtype=dtype)
+    q = q.at[:, :, n].set(
+        -2.0
+        * cfg.terminal_weight
+        * inp_leaf.terminal_mask[None, :]
+        * inp_leaf.goal[:, None]
+    )
+    return P_seg, tdiag, q
+
+
+# ----------------------------------------------------------------------
+# solver
+# ----------------------------------------------------------------------
+
+
+def solve_single(cfg: QPConfig, inp_leaf) -> tuple:
+    """Solve one agent's QP (vmapped over the fleet by `solve`)."""
+    dtype = inp_leaf.p0.dtype
+    V = cfg.n_vars
+    N_null_np, X_pin_np = _equality_basis(
+        cfg.M, cfg.n, cfg.phi, cfg.dt, cfg.stop_at_horizon
+    )
+    Kdim = N_null_np.shape[1]
+    N_null = jnp.asarray(N_null_np, dtype)  # [MN, Kdim]
+    X_pin = jnp.asarray(X_pin_np, dtype)  # [MN, phi]
+
+    pins = pinned_values(
+        cfg, inp_leaf.p0[None], inp_leaf.v0[None], inp_leaf.a0[None]
+    )[0]  # [dim, phi]
+
+    l, u, rho = constraint_bounds(cfg, inp_leaf)
+    P_seg, tdiag, q = cost_matrices(cfg, inp_leaf)
+
+    def lift(xi):  # ξ [dim, Kdim] → x [dim, M, N]
+        x = jnp.einsum("vk,dk->dv", N_null, xi) + jnp.einsum(
+            "vp,dp->dv", X_pin, pins
+        )
+        return x.reshape(cfg.dim, cfg.M, cfg.N)
+
+    def lower(x):  # x [dim, M, N] → ξ [dim, Kdim] (orthonormal restriction)
+        xp = jnp.einsum("vp,dp->dv", X_pin, pins)
+        return jnp.einsum("vk,dv->dk", N_null, x.reshape(cfg.dim, -1) - xp)
+
+    # reduced constraint matrix via basis push-through: Aξ [C, dim·Kdim]
+    eye = jnp.eye(cfg.dim * Kdim, dtype=dtype).reshape(-1, cfg.dim, Kdim)
+    zeros_pin = jnp.zeros_like(pins)
+
+    def lift_homog(xi):
+        return jnp.einsum("vk,dk->dv", N_null, xi).reshape(
+            cfg.dim, cfg.M, cfg.N
+        )
+
+    An = jax.vmap(
+        lambda e: constraint_rows(cfg, lift_homog(e), inp_leaf.lsc_normals)
+    )(eye).T  # [C, dim·Kdim]
+    xpart = jnp.einsum("vp,dp->dv", X_pin, pins).reshape(cfg.dim, cfg.M, cfg.N)
+    b_off = constraint_rows(cfg, xpart, inp_leaf.lsc_normals)  # [C]
+    ln, un = l - b_off, u - b_off
+
+    # reduced cost
+    P_blk = jnp.kron(jnp.eye(cfg.M, dtype=dtype), P_seg)  # [MN, MN]
+    tvec = jnp.zeros((cfg.M, cfg.N), dtype).at[:, cfg.n].set(tdiag).reshape(-1)
+    P_dim = P_blk + jnp.diag(tvec)  # per-dim [MN, MN]
+    Pn_dim = N_null.T @ P_dim @ N_null  # [Kdim, Kdim] shared across dims
+    # q_ξ = Nᵀ (q + P x_p) per dim
+    qn = jnp.einsum(
+        "vk,dv->dk",
+        N_null,
+        q.reshape(cfg.dim, -1) + jnp.einsum("vw,dw->dv", P_dim, xpart.reshape(cfg.dim, -1)),
+    ).reshape(-1)
+
+    Pn = jnp.kron(jnp.eye(cfg.dim, dtype=dtype), Pn_dim)
+    K = Pn + cfg.sigma * jnp.eye(cfg.dim * Kdim, dtype=dtype) + (An.T * rho) @ An
+    chol = jnp.linalg.cholesky(K)
+
+    xi0 = lower(inp_leaf.x0).reshape(-1)
+    z0 = An @ xi0
+    y0 = jnp.zeros_like(z0)
+
+    eps_rel = 1e-3
+
+    def step(state):
+        xi, z, y, it, _ = state
+        rhs = cfg.sigma * xi - qn + An.T @ (rho * z - y)
+        xi_t = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        z_t = An @ xi_t
+        xi_n = cfg.alpha * xi_t + (1 - cfg.alpha) * xi
+        z_mix = cfg.alpha * z_t + (1 - cfg.alpha) * z
+        z_n = jnp.clip(z_mix + y / rho, ln, un)
+        y_n = y + rho * (z_mix - z_n)
+
+        Axn = An @ xi_n
+        rp = jnp.max(jnp.abs(Axn - z_n))
+        eps_p = cfg.eps_abs + eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(Axn)), jnp.max(jnp.abs(z_n))
+        )
+        Px = Pn @ xi_n
+        Aty = An.T @ y_n
+        rd = jnp.max(jnp.abs(Px + qn + Aty))
+        eps_d = cfg.eps_abs + eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(Px)),
+            jnp.maximum(jnp.max(jnp.abs(Aty)), jnp.max(jnp.abs(qn))),
+        )
+        done = (rp < eps_p) & (rd < eps_d)
+        return xi_n, z_n, y_n, it + 1, done
+
+    def cond(state):
+        _, _, _, it, done = state
+        return (it < cfg.max_iter) & jnp.logical_not(done)
+
+    state = (xi0, z0, y0, jnp.int32(0), jnp.asarray(False))
+    xi, z, y, iters, _ = jax.lax.while_loop(cond, step, state)
+
+    x = lift(xi.reshape(cfg.dim, Kdim))
+    Ax = An @ xi.reshape(-1) + b_off
+    primal_res = jnp.max(jnp.maximum(jnp.maximum(l - Ax, Ax - u), 0.0))
+
+    xf = x.reshape(cfg.dim, -1)
+    obj = 0.5 * jnp.einsum("dv,vw,dw->", xf, P_dim, xf) + jnp.sum(
+        q.reshape(cfg.dim, -1) * xf
+    )
+    return x, primal_res, iters, obj
+
+
+def solve(cfg: QPConfig, inputs: QPInputs, feas_tol: float = 5e-3) -> QPResult:
+    """Solve all agents' QPs in one batched call."""
+    x, primal, iters, obj = jax.vmap(lambda leaf: solve_single(cfg, leaf))(inputs)
+    converged = primal < feas_tol
+    return QPResult(
+        x=x,
+        converged=converged,
+        primal_residual=primal,
+        iterations=iters,
+        objective=obj,
+    )

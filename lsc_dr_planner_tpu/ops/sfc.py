@@ -1,0 +1,214 @@
+"""Safe Flight Corridor (SFC) construction — batched, O(1)-per-query.
+
+Capability parity with the reference's corridor machinery (reference:
+src/collision_constraints.cpp — initializeSFC :366-383, shift update +
+new last box from point :396-412 / from convex hull :414-436, greedy
+axis-sweep expansion :820-881, goal-directed axis ordering
+setAxisCand :1134-1170, margin compensation :864-877).
+
+TPU-first redesign: boxes live in integer lattice coordinates; the
+"any obstacle in this box?" predicate is a single 8-corner integral-image
+lookup (see world/grid.py) instead of the reference's O(cells) EDT scan.
+The greedy expansion is a bounded `lax.while_loop` doing one O(1) query
+per step; agents are vmapped.
+
+Box tensors: per agent, `lo`/`hi` int32 [..., M, 3] (inclusive lattice
+index ranges; world coords = index·res with margin compensation applied
+at conversion time).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsc_dr_planner_tpu.world.grid import GridWorld
+
+# direction encoding: 0,1,2 = -x,-y,-z; 3,4,5 = +x,+y,+z
+_DIR_AXIS = np.array([0, 1, 2, 0, 1, 2], dtype=np.int32)
+_DIR_SIGN = np.array([-1, -1, -1, 1, 1, 1], dtype=np.int32)
+
+
+def _dims_arr(gw: GridWorld):
+    return jnp.asarray(np.asarray(gw.occ.shape), dtype=jnp.int32)
+
+
+def expand_box(gw: GridWorld, lo, hi, axis_order, max_iters: int = 4096):
+    """Greedy round-robin box expansion on the blocked-lattice field.
+
+    lo, hi: int32 [3] (inclusive lattice range). axis_order: int32 [6]
+    permutation of directions, tried cyclically; a direction is retired
+    when one further cell along it would hit an obstacle or leave the
+    world. Returns (lo, hi, ok) where ok = the seed box itself was free.
+
+    Reference: CollisionConstraints::expandSFC,
+    src/collision_constraints.cpp:820-881.
+    """
+    dims = _dims_arr(gw)
+    seed_free = gw.box_is_free(lo, hi) & jnp.all(lo >= 0) & jnp.all(hi <= dims)
+
+    def try_dir(lo, hi, d):
+        axis = jnp.asarray(_DIR_AXIS)[d]
+        sign = jnp.asarray(_DIR_SIGN)[d]
+        delta = sign * jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        nlo = jnp.where(sign < 0, lo + delta, lo)
+        nhi = jnp.where(sign > 0, hi + delta, hi)
+        in_bounds = jnp.all(nlo >= 0) & jnp.all(nhi <= dims)
+        ok = in_bounds & gw.box_is_free(nlo, nhi)
+        return nlo, nhi, ok
+
+    def cond(state):
+        lo, hi, active, ptr, it = state
+        return jnp.any(active) & (it < max_iters)
+
+    def body(state):
+        lo, hi, active, ptr, it = state
+        # next active slot in cyclic order starting at ptr
+        idx6 = jnp.arange(6)
+        order_pos = (ptr + idx6) % 6
+        act = active[order_pos]
+        step = jnp.argmax(act)  # first active offset
+        slot = (ptr + step) % 6
+        d = axis_order[slot]
+        nlo, nhi, ok = try_dir(lo, hi, d)
+        lo = jnp.where(ok, nlo, lo)
+        hi = jnp.where(ok, nhi, hi)
+        active = jnp.where(ok, active, active.at[slot].set(False))
+        ptr = jnp.where(ok, (slot + 1) % 6, slot)
+        return lo, hi, active, ptr, it + 1
+
+    active0 = jnp.ones(6, dtype=bool) & seed_free
+    lo, hi, _, _, _ = jax.lax.while_loop(
+        cond, body, (lo, hi, active0, jnp.int32(0), jnp.int32(0))
+    )
+    return lo, hi, seed_free
+
+
+def default_axis_order():
+    return jnp.arange(6, dtype=jnp.int32)
+
+
+def goal_directed_axis_order(box_lo_pt, box_hi_pt, goal):
+    """Axis try-order by descending |goal − box mid| with the toward-goal
+    direction first; away directions mirrored at the back.
+
+    Reference: CollisionConstraints::setAxisCand,
+    src/collision_constraints.cpp:1134-1170.
+    """
+    mid = 0.5 * (box_lo_pt + box_hi_pt)
+    delta = goal - mid
+    offsets = jnp.where(delta > 0, 3, 0)  # toward-goal direction id offset
+    # stable descending sort of |delta|
+    order = jnp.argsort(-jnp.abs(delta), stable=True)
+    toward = order + offsets[order]
+    away = order + (3 - offsets[order])
+    return jnp.concatenate([toward, away[::-1]]).astype(jnp.int32)
+
+
+def initialize_sfc(gw: GridWorld, position, M: int):
+    """Seed box = the grid cell containing the agent, expanded in default
+    order; replicated over all M segments.
+
+    Reference: CollisionConstraints::initializeSFC,
+    src/collision_constraints.cpp:366-383.
+    """
+    lo = gw.point_to_lattice_floor(position)
+    hi = gw.point_to_lattice_ceil(position)
+    lo, hi, ok = expand_box(gw, lo, hi, default_axis_order())
+    return (
+        jnp.broadcast_to(lo, (M, 3)),
+        jnp.broadcast_to(hi, (M, 3)),
+        ok,
+    )
+
+
+def construct_sfc_from_point(gw: GridWorld, sfc_lo, sfc_hi, point, goal):
+    """Corridor shift update + new last box grown from `point` toward
+    `goal` (non-DR goal modes).
+
+    Reference: constructSFCFromPoint + expandSFCFromPoint,
+    src/collision_constraints.cpp:396-412, 669-694.
+    """
+    prev_lo, prev_hi = sfc_lo[-1], sfc_hi[-1]
+    lo = gw.point_to_lattice_floor(point)
+    hi = gw.point_to_lattice_ceil(point)
+    # if not included in the previous last box, intersect with it
+    included = jnp.all(lo >= prev_lo) & jnp.all(hi <= prev_hi)
+    ilo = jnp.maximum(lo, prev_lo)
+    ihi = jnp.minimum(hi, prev_hi)
+    lo = jnp.where(included, lo, ilo)
+    hi = jnp.where(included, hi, ihi)
+
+    order = goal_directed_axis_order(
+        gw.lattice_to_point(lo), gw.lattice_to_point(hi), goal
+    )
+    nlo, nhi, ok = expand_box(gw, lo, hi, order)
+    # failure → reuse previous last box
+    new_lo = jnp.where(ok, nlo, prev_lo)
+    new_hi = jnp.where(ok, nhi, prev_hi)
+    return (
+        jnp.concatenate([sfc_lo[1:], new_lo[None]], axis=0),
+        jnp.concatenate([sfc_hi[1:], new_hi[None]], axis=0),
+        ok,
+    )
+
+
+def construct_sfc_from_hull(gw: GridWorld, sfc_lo, sfc_hi, hull_pts, next_waypoint):
+    """Corridor shift update + new last box containing the convex hull of
+    `hull_pts` (= {initial-traj end, current goal}), greedily also trying
+    to include `next_waypoint` (the DR goal mode update).
+
+    Reference: constructSFCFromConvexHull + expandSFCFromConvexHull,
+    src/collision_constraints.cpp:414-436, 696-778.
+    """
+    prev_lo, prev_hi = sfc_lo[-1], sfc_hi[-1]
+
+    # attempt 1: hull + next_waypoint, round-aligned seed
+    pts_g = jnp.concatenate([hull_pts, next_waypoint[None]], axis=0)
+    lo1 = gw.point_to_lattice_round(jnp.min(pts_g, axis=0))
+    hi1 = gw.point_to_lattice_round(jnp.max(pts_g, axis=0))
+    e1lo, e1hi, ok1 = expand_box(gw, lo1, hi1, default_axis_order())
+    ok1 &= _superset_of(gw, e1lo, e1hi, pts_g)
+
+    # attempt 2: hull only, floor/ceil seed intersected with previous box
+    lo2 = gw.point_to_lattice_floor(jnp.min(hull_pts, axis=0))
+    hi2 = gw.point_to_lattice_ceil(jnp.max(hull_pts, axis=0))
+    included = jnp.all(lo2 >= prev_lo) & jnp.all(hi2 <= prev_hi)
+    lo2 = jnp.where(included, lo2, jnp.maximum(lo2, prev_lo))
+    hi2 = jnp.where(included, hi2, jnp.minimum(hi2, prev_hi))
+    e2lo, e2hi, ok2 = expand_box(gw, lo2, hi2, default_axis_order())
+    ok2 &= _superset_of(gw, e2lo, e2hi, hull_pts)
+
+    new_lo = jnp.where(ok1, e1lo, jnp.where(ok2, e2lo, prev_lo))
+    new_hi = jnp.where(ok1, e1hi, jnp.where(ok2, e2hi, prev_hi))
+    ok = ok1 | ok2
+    return (
+        jnp.concatenate([sfc_lo[1:], new_lo[None]], axis=0),
+        jnp.concatenate([sfc_hi[1:], new_hi[None]], axis=0),
+        ok,
+    )
+
+
+def _superset_of(gw: GridWorld, lo, hi, pts):
+    lop = gw.lattice_to_point(lo) - 1e-6
+    hip = gw.lattice_to_point(hi) + 1e-6
+    return jnp.all((pts >= lop) & (pts <= hip))
+
+
+def sfc_to_world(gw: GridWorld, sfc_lo, sfc_hi, margin: float):
+    """Lattice boxes → world-coordinate boxes with margin compensation:
+    each face not on the world boundary moves outward by
+    margin − floor(margin/res)·res.
+
+    Reference: expandSFC margin compensation,
+    src/collision_constraints.cpp:864-877.
+    """
+    res = gw.resolution
+    delta = margin - np.floor(margin / res + 1e-9) * res
+    dims = _dims_arr(gw)
+    lo_pt = gw.lattice_to_point(sfc_lo)
+    hi_pt = gw.lattice_to_point(sfc_hi)
+    lo_pt = jnp.where(sfc_lo > 0, lo_pt - delta, lo_pt)
+    hi_pt = jnp.where(sfc_hi < dims, hi_pt + delta, hi_pt)
+    return lo_pt, hi_pt
