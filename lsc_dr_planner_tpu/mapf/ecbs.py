@@ -1,0 +1,326 @@
+"""ECBS — Enhanced Conflict-Based Search (w-suboptimal MAPF solver).
+
+Algorithmic parity with the vendored mapf-IR ECBS (the low-level
+two-queue OPEN/FOCAL search is approximated by a single f1-first heap
+with conflict-count tie-breaking — same admissible cost, same
+constraint semantics). Reference:
+src/mapf/ecbs.cpp — high-level OPEN/FOCAL loop :12-110, initial
+prioritized paths :132-180, invoke/replan :183-206, low-level focal
+space-time A* :208-394; first-conflict constraint extraction:
+src/mapf/lib_cbs.cpp:18-49). Sub-optimality factor w = 2.0
+(ecbs.cpp:5).
+
+Host-side numpy/python — the coarse grids are tiny and ECBS runs per
+communication group once per planning step.
+"""
+
+from __future__ import annotations
+
+import heapq
+import itertools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from lsc_dr_planner_tpu.mapf.grid import _NBR4, bfs_distances
+
+SUB_OPTIMALITY = 2.0
+Cell = Tuple[int, int]
+
+
+def _pad_get(path: List[Cell], t: int) -> Cell:
+    return path[t] if t < len(path) else path[-1]
+
+
+def _makespan(paths: List[List[Cell]]) -> int:
+    return max(len(p) - 1 for p in paths)
+
+
+def _path_cost(path: List[Cell]) -> int:
+    """Cost = last timestep the agent moves (reference Paths::getSOC)."""
+    g = path[-1]
+    c = len(path) - 1
+    while c > 0 and path[c - 1] == g:
+        c -= 1
+    return c
+
+
+def _soc(paths: List[List[Cell]]) -> int:
+    return sum(_path_cost(p) for p in paths)
+
+
+def _count_conflicts(paths: List[List[Cell]], only_agent: Optional[int] = None,
+                     agent_path: Optional[List[Cell]] = None) -> int:
+    """Count vertex+swap conflicts (reference Paths::countConflict)."""
+    n = len(paths)
+    ms = _makespan(paths)
+    if agent_path is not None:
+        ms = max(ms, len(agent_path) - 1)
+    cnt = 0
+    if only_agent is not None:
+        i = only_agent
+        pi = agent_path
+        for j in range(n):
+            if j == i:
+                continue
+            for t in range(1, ms + 1):
+                if _pad_get(pi, t) == _pad_get(paths[j], t):
+                    cnt += 1
+                elif (_pad_get(pi, t) == _pad_get(paths[j], t - 1)
+                      and _pad_get(pi, t - 1) == _pad_get(paths[j], t)):
+                    cnt += 1
+        return cnt
+    for t in range(1, ms + 1):
+        for i in range(n):
+            for j in range(i + 1, n):
+                if _pad_get(paths[i], t) == _pad_get(paths[j], t):
+                    cnt += 1
+                elif (_pad_get(paths[i], t) == _pad_get(paths[j], t - 1)
+                      and _pad_get(paths[i], t - 1) == _pad_get(paths[j], t)):
+                    cnt += 1
+    return cnt
+
+
+def _first_constraints(paths: List[List[Cell]]):
+    """First vertex/swap conflict → pair of constraints (agent, t, v, u).
+
+    Reference: LibCBS::getFirstConstraints, lib_cbs.cpp:18-49.
+    """
+    n = len(paths)
+    ms = _makespan(paths)
+    for t in range(1, ms + 1):
+        for i in range(n):
+            for j in range(i + 1, n):
+                vi, vj = _pad_get(paths[i], t), _pad_get(paths[j], t)
+                if vi == vj:
+                    return [(i, t, vi, None), (j, t, vj, None)]
+                if vi == _pad_get(paths[j], t - 1) and vj == _pad_get(paths[i], t - 1):
+                    return [
+                        (i, t, vi, _pad_get(paths[i], t - 1)),
+                        (j, t, vj, _pad_get(paths[j], t - 1)),
+                    ]
+    return []
+
+
+class _HLNode:
+    __slots__ = ("paths", "constraints", "soc", "f", "LB", "f_mins", "valid")
+
+    def __init__(self, paths, constraints, soc, f, LB, f_mins):
+        self.paths = paths
+        self.constraints = constraints
+        self.soc = soc
+        self.f = f
+        self.LB = LB
+        self.f_mins = f_mins
+        self.valid = True
+
+
+def solve_ecbs(
+    occ2d: np.ndarray,
+    starts: Sequence[Cell],
+    currents: Sequence[Cell],
+    goals: Sequence[Cell],
+    sub_optimality: float = SUB_OPTIMALITY,
+    max_hl_nodes: int = 5000,
+) -> Optional[List[List[Cell]]]:
+    """Run ECBS from the current config; returns per-agent paths
+    `[current, cfg(1), …]` with the repeated prefix stripped (the
+    simulator-side strip, grid_based_planner.cpp:355-373), or None.
+    """
+    n = len(currents)
+    occ2d = np.asarray(occ2d, dtype=bool)
+    currents = [tuple(c) for c in currents]
+    goals = [tuple(g) for g in goals]
+    dists = [bfs_distances(occ2d, goals[i]) for i in range(n)]
+    for i in range(n):
+        if not np.isfinite(dists[i][currents[i]]):
+            return None
+
+    X, Y = occ2d.shape
+
+    def neighbors(v: Cell):
+        out = []
+        for dx, dy in _NBR4:
+            u = (v[0] + dx, v[1] + dy)
+            if 0 <= u[0] < X and 0 <= u[1] < Y and not occ2d[u]:
+                out.append(u)
+        return out
+
+    # ---- initial prioritized paths (reference getInitialPath)
+    def initial_path(i: int, paths: List[Optional[List[Cell]]]) -> List[Cell]:
+        s, g = currents[i], goals[i]
+        ms = max((len(p) - 1 for p in paths if p), default=0)
+        path = [s]
+        p = s
+        t = 1
+        goal_cells = set(goals)
+        while p != g and len(path) < 4 * (X + Y) + 50:
+            cands = neighbors(p)
+
+            def key(a):
+                occupied = 0
+                if t <= ms:
+                    for j in range(n):
+                        if paths[j] and _pad_get(paths[j], t) == a:
+                            occupied = 1
+                            break
+                other_goal = 1 if (a != g and a in goal_cells) else 0
+                return (dists[i][a], occupied, other_goal)
+
+            p = min(cands, key=key)
+            path.append(p)
+            t += 1
+        return path
+
+    paths0: List[Optional[List[Cell]]] = [None] * n
+    f_mins = []
+    for i in range(n):
+        pth = initial_path(i, paths0)
+        paths0[i] = pth
+        f_mins.append(len(pth) - 1)
+    root = _HLNode(paths0, [], _soc(paths0), _count_conflicts(paths0),
+                   _soc(paths0), f_mins)
+
+    # ---- low-level focal space-time A* (reference getFocalPath)
+    def focal_path(node: _HLNode, aid: int):
+        s, g = currents[aid], goals[aid]
+        cons = [c for c in node.constraints if c[0] == aid]
+        max_con_t = max((c[1] for c in cons if c[2] == g and c[3] is None),
+                        default=0)
+        base_dist = dists[aid]
+        others = [node.paths[j] for j in range(n) if j != aid]
+        ms = _makespan(node.paths)
+
+        def f1(v, gcost):
+            h = base_dist[v]
+            if not np.isfinite(h):
+                return None
+            f = gcost + int(h)
+            if base_dist[s] <= max_con_t:
+                f = max(max_con_t + 1, f)
+            return f
+
+        def conflicts_at(v, pv, gcost):
+            # vertex / swap conflict count vs the other agents' paths at
+            # time gcost (reference f2Value, ecbs.cpp:243-261)
+            c = 0
+            for pth in others:
+                if _pad_get(pth, gcost) == v:
+                    c += 1
+                elif (
+                    gcost <= ms
+                    and _pad_get(pth, gcost) == pv
+                    and _pad_get(pth, gcost - 1) == v
+                ):
+                    c += 1
+            return c
+
+        start_f1 = f1(s, 0)
+        if start_f1 is None:
+            return None, 0
+        # Single heap ordered by (f1, f2, -g): an f1-first focal proxy of
+        # the reference's two-queue OPEN/FOCAL search — same w-bounded
+        # admissibility (f1 is the admissible cost), conflict count as the
+        # secondary key.
+        counter = itertools.count()
+        came: Dict[Tuple[Cell, int], Optional[Tuple[Cell, int]]] = {(s, 0): None}
+        f1_min = start_f1
+        CLOSE = set()
+        heap = [(start_f1, 0, 0, next(counter), s, 0, None)]
+        result = None
+        expansions = 0
+        limit = 200000
+        while heap and expansions < limit:
+            f1v, f2v, _negg, _, v, gcost, parent = heapq.heappop(heap)
+            if (v, gcost) in CLOSE:
+                continue
+            CLOSE.add((v, gcost))
+            came[(v, gcost)] = parent
+            expansions += 1
+            if v == g and gcost > max_con_t:
+                result = (v, gcost)
+                f1_min = min(f1_min, f1v)
+                break
+            for u in neighbors(v) + [v]:
+                ng = gcost + 1
+                if (u, ng) in CLOSE:
+                    continue
+                if any(
+                    ng == c[1] and u == c[2] and (c[3] is None or c[3] == v)
+                    for c in cons
+                ):
+                    continue
+                nf1 = f1(u, ng)
+                if nf1 is None:
+                    continue
+                nf2 = f2v + conflicts_at(u, v, ng)
+                heapq.heappush(
+                    heap, (nf1, nf2, -ng, next(counter), u, ng, (v, gcost))
+                )
+
+        if result is None:
+            return None, 0
+        # reconstruct
+        path = []
+        cur = result
+        while cur is not None:
+            path.append(cur[0])
+            cur = came[cur]
+        path.reverse()
+        return path, int(min(f1_min, len(path) - 1))
+
+    # ---- high-level search
+    counter = itertools.count()
+    OPEN = [(root.LB, next(counter), root)]
+    solved_node = None
+    explored = 0
+    while OPEN and explored < max_hl_nodes:
+        # focal selection: among nodes with LB <= LB_min * w, min conflicts
+        while OPEN and not OPEN[0][2].valid:
+            heapq.heappop(OPEN)
+        if not OPEN:
+            break
+        LB_min = OPEN[0][0]
+        bound = LB_min * sub_optimality
+        focal = [e for e in OPEN if e[2].valid and e[0] <= bound]
+        node = min(focal, key=lambda e: (e[2].f, e[2].soc))[2]
+        node.valid = False
+        explored += 1
+
+        constraints = _first_constraints(node.paths)
+        if not constraints:
+            solved_node = node
+            break
+        for c in constraints:
+            aid = c[0]
+            m = _HLNode([list(p) for p in node.paths],
+                        node.constraints + [c], node.soc, node.f,
+                        node.LB, list(node.f_mins))
+            new_path, f_min = focal_path(m, aid)
+            if new_path is None:
+                continue
+            old = m.paths[aid]
+            m.f = (m.f - _count_conflicts(m.paths, aid, old)
+                   + _count_conflicts(m.paths, aid, new_path))
+            m.paths[aid] = new_path
+            m.soc = _soc(m.paths)
+            m.LB = m.LB - m.f_mins[aid] + f_min
+            m.f_mins[aid] = f_min
+            heapq.heappush(OPEN, (m.LB, next(counter), m))
+
+    if solved_node is None:
+        return None
+
+    ms = _makespan(solved_node.paths)
+    paths = [
+        [_pad_get(solved_node.paths[i], t) for t in range(ms + 1)]
+        for i in range(n)
+    ]
+    # strip repeated all-agent prefix
+    repeated = 0
+    for t in range(1, ms + 1):
+        if all(paths[i][0] == paths[i][t] for i in range(n)):
+            repeated = t
+    for i in range(n):
+        del paths[i][:repeated]
+    return paths

@@ -234,6 +234,13 @@ def constraint_rows(cfg: QPConfig, x, lsc_normals):
     return jnp.concatenate(rows)
 
 
+# Per-family ρ multipliers: rows with small feasible ranges (the raw
+# velocity/acceleration differences have caps of ~4e-2/4e-3) need larger
+# penalty weight than O(1)-range rows for uniform f32 convergence.
+# Empirically tuned on crowded forest10 instances.
+_RHO_SCALE = {"lsc": 10.0, "vel": 50.0, "acc": 50.0, "comm": 1.0, "bound": 5.0}
+
+
 def constraint_bounds(cfg: QPConfig, inp_leaf):
     """(l, u, rho) flat row vectors for ONE agent (inequalities only)."""
     dim, M, n, N, phi = cfg.dim, cfg.M, cfg.n, cfg.N, cfg.phi
@@ -248,14 +255,14 @@ def constraint_bounds(cfg: QPConfig, inp_leaf):
 
     # LSC
     lsc_l = jnp.where(inp_leaf.lsc_active, inp_leaf.lsc_rhs, -_INF)
-    add(lsc_l, jnp.full_like(lsc_l, _INF), cfg.rho)
+    add(lsc_l, jnp.full_like(lsc_l, _INF), cfg.rho * _RHO_SCALE["lsc"])
 
     # velocity: |Δ| ≤ vmax·dt/n; skip m=0, i<2 (involves pinned points)
     vcap = (inp_leaf.vmax * dt / n)[:, None, None] * jnp.ones((dim, M, n), dtype)
     vmask = np.ones((M, n), dtype=bool)
     vmask[0, :2] = False
     vcap = jnp.where(jnp.asarray(vmask)[None], vcap, _INF)
-    add(-vcap, vcap, cfg.rho)
+    add(-vcap, vcap, cfg.rho * _RHO_SCALE["vel"])
 
     # acceleration: |Δ²| ≤ amax·dt²/(n(n−1)); skip m=0, i=0
     acap = (inp_leaf.amax * dt * dt / (n * (n - 1)))[:, None, None] * jnp.ones(
@@ -264,21 +271,21 @@ def constraint_bounds(cfg: QPConfig, inp_leaf):
     amask = np.ones((M, n - 1), dtype=bool)
     amask[0, 0] = False
     acap = jnp.where(jnp.asarray(amask)[None], acap, _INF)
-    add(-acap, acap, cfg.rho)
+    add(-acap, acap, cfg.rho * _RHO_SCALE["acc"])
 
     if cfg.use_comm:
         npairs = M * (M + 1) // 2
         ccap = jnp.broadcast_to(
             inp_leaf.comm_halfrange, (dim, npairs)
         ).astype(dtype)
-        add(-ccap, ccap, cfg.rho)
+        add(-ccap, ccap, cfg.rho * _RHO_SCALE["comm"])
 
     # bounds; pinned entries vacuous (their value is fixed by elimination)
     pm = np.zeros((dim, M, N), dtype=bool)
     pm[:, 0, :phi] = True
     lb = jnp.where(jnp.asarray(pm), -_INF, inp_leaf.lb)
     ub = jnp.where(jnp.asarray(pm), _INF, inp_leaf.ub)
-    add(lb, ub, cfg.rho)
+    add(lb, ub, cfg.rho * _RHO_SCALE["bound"])
 
     return jnp.concatenate(ls), jnp.concatenate(us), jnp.concatenate(rs)
 

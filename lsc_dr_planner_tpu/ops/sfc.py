@@ -191,9 +191,12 @@ def construct_sfc_from_hull(gw: GridWorld, sfc_lo, sfc_hi, hull_pts, next_waypoi
 
 
 def _superset_of(gw: GridWorld, lo, hi, pts):
-    lop = gw.lattice_to_point(lo) - 1e-6
-    hip = gw.lattice_to_point(hi) + 1e-6
-    return jnp.all((pts >= lop) & (pts <= hip))
+    """Containment check against the margin-COMPENSATED box (the
+    reference checks isSuperSetOfConvexHull on the box returned by
+    expandSFC, which already includes the margin compensation,
+    collision_constraints.cpp:864-881 + 414-436)."""
+    lop, hip = sfc_to_world(gw, lo, hi, gw.radius)
+    return jnp.all((pts >= lop - 1e-6) & (pts <= hip + 1e-6))
 
 
 def sfc_to_world(gw: GridWorld, sfc_lo, sfc_hi, margin: float):

@@ -1,0 +1,702 @@
+"""Synchronous multi-agent simulator (the global step loop).
+
+Capability parity with MultiSyncSimulator (reference:
+src/multi_sync_simulator.cpp — run loop :81-129, doStep :152-158,
+decentralizedMAPP group formation + waypoint vetting :160-303,
+broadcast :305-352, sequential plan :354-374 [here: one batched call],
+finish check :401-424, safety audit :448-584, CSV logging :586-709) and
+AgentManager (src/agent_manager.cpp — ideal doStep :29-50, state
+machine :225-240).
+
+Host orchestration: the communication-group formation and the MAPF
+waypoint layer run host-side (sequential, tiny); everything else is the
+single fused jitted pipeline step for the whole fleet.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from enum import Enum
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from lsc_dr_planner_tpu.config import GoalMode, MAPFMode, Param, PlannerMode
+from lsc_dr_planner_tpu.mapf import ecbs as ecbsmod
+from lsc_dr_planner_tpu.mapf import pibt as pibtmod
+from lsc_dr_planner_tpu.mapf.grid import CoarseGrid, build_coarse_grid
+from lsc_dr_planner_tpu.mission import Mission
+from lsc_dr_planner_tpu.ops import trajectory
+from lsc_dr_planner_tpu.planner.pipeline import (
+    FleetArrays,
+    FleetPlanner,
+    StepInputs,
+)
+from lsc_dr_planner_tpu.utils.timing import PlanningTimeStatistics, Timer
+from lsc_dr_planner_tpu.world.grid import GridWorld, build_grid_world
+from lsc_dr_planner_tpu.world.obstacles import ObstacleGenerator
+
+
+class PlannerState(Enum):
+    WAIT = 0
+    GOTO = 1
+    PATROL = 2
+    GOBACK = 3
+    LAND = 4
+
+
+class MultiSyncSimulator:
+    def __init__(self, param: Param, mission: Mission, log_dir: str = "log",
+                 seed: int = 0, save_result: Optional[bool] = None):
+        self.param = param
+        self.mission = mission
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        p = param
+        s = mission.stacked()
+        self.A = mission.qn
+        self.s = s
+
+        # world preprocessing
+        if p.world_use_octomap:
+            self.world = build_grid_world(
+                mission.world_boxes, mission.world_min, mission.world_max,
+                p.world_resolution, float(s["radius"][0]),
+            )
+        else:
+            self.world = build_grid_world(
+                np.zeros((0, 6)), mission.world_min, mission.world_max,
+                p.world_resolution, float(s["radius"][0]),
+            )
+
+        # coarse grid for the MAPF layer
+        def linf_distance(points):
+            # L∞ distance from points to nearest occupied cell box
+            if self.world.n_boxes == 0:
+                return np.full(len(points), np.inf)
+            d, centers = self.world.distance_to_obstacle(jnp.asarray(points))
+            centers = np.asarray(centers)
+            lo = centers - 0.5 * p.world_resolution
+            hi = centers + 0.5 * p.world_resolution
+            cp = np.clip(points, lo, hi)
+            return np.max(np.abs(cp - points), axis=-1)
+
+        self.coarse = build_coarse_grid(
+            mission.world_min, mission.world_max, p.grid_resolution,
+            p.world_dimension, p.world_z_2d,
+            distance_fn=linf_distance if p.world_use_octomap else None,
+            agent_radius=float(s["radius"][0]) + p.grid_margin,
+        )
+
+        self.obstacle_generator = ObstacleGenerator(mission.obstacles, seed=seed)
+
+        self.planner = FleetPlanner(
+            param, self.world, self.A, max_dynobs=mission.on,
+            agent_radius=float(s["radius"][0]),
+        )
+
+        self.fleet = FleetArrays(
+            radius=jnp.asarray(s["radius"], jnp.float32),
+            downwash=jnp.asarray(s["downwash"], jnp.float32),
+            max_vel=jnp.asarray(s["max_vel"], jnp.float32),
+            max_acc=jnp.asarray(s["max_acc"], jnp.float32),
+            nominal_velocity=jnp.asarray(s["nominal_velocity"], jnp.float32),
+        )
+
+        # mutable simulation state (host numpy)
+        self.pos = s["start"].astype(np.float64).copy()
+        if p.world_dimension == 2:
+            self.pos[:, 2] = p.world_z_2d
+        self.vel = np.zeros((self.A, 3))
+        self.acc = np.zeros((self.A, 3))
+        self.start_point = s["start"].copy()
+        self.desired_goal = s["goal"].copy()
+        self.current_goal = self.pos.copy()
+        self.next_waypoint = self.pos.copy()
+        self.prev_ctrl = np.asarray(
+            trajectory.const_vel_ctrl(
+                jnp.asarray(self.pos, jnp.float32),
+                jnp.zeros((self.A, 3), jnp.float32), p.M, p.n, p.dt,
+            )
+        )
+        self.desired_ctrl = self.prev_ctrl.copy()
+        self.has_prev = np.zeros(self.A, bool)
+        self.sfc_lo = np.zeros((self.A, p.M, 3), np.int32)
+        self.sfc_hi = np.zeros((self.A, p.M, 3), np.int32)
+        self.sfc_initialized = np.zeros(self.A, bool)
+        self.planner_seq = 0
+        self.mapf_elapsed = np.zeros(self.A, dtype=int)
+        self._mapf_plans = {}
+        self._last_pos = self.pos.copy()
+        self._stall_count = np.zeros(self.A, dtype=int)
+        self.planner_state = (
+            PlannerState.PATROL if p.multisim_patrol else PlannerState.GOTO
+        )
+        self.sim_time = 0.0
+
+        # metrics
+        self.planning_time = PlanningTimeStatistics()
+        self.safety_ratio_agent = np.inf
+        self.safety_ratio_obs = np.inf
+        self.vel_excess_ratio = np.zeros(3)
+        self.acc_excess_ratio = np.zeros(3)
+        self.total_flight_time = np.inf
+        self.traj_history: List[np.ndarray] = []
+        self.is_collided = False
+        self.qp_failed = False
+
+        self.save_result = (
+            p.multisim_save_result if save_result is None else save_result
+        )
+        self.mission_start_time = str(time.time())
+        self.file_name_param = (
+            f"{p.planner_mode_str()}_{self.A}agents"
+        )
+        self._sim_csv_rows: List[str] = []
+
+    # ==================================================================
+    def run(self, max_iterations: Optional[int] = None, verbose: bool = False):
+        p = self.param
+        max_iter = max_iterations or p.multisim_max_planner_iteration
+        for it in range(max_iter):
+            if self.is_finished() or it == max_iter - 1:
+                break
+            if it > 0:
+                self.do_step()
+            self.decentralized_mapp()
+            ok = self.plan()
+            if not ok:
+                self.qp_failed = True
+                break
+            self.save_simulation_result()
+            if verbose and it % 10 == 0:
+                d = np.linalg.norm(self.pos - self.desired_goal, axis=-1)
+                print(
+                    f"iter {it}: t={self.sim_time:.1f}s max dist to goal "
+                    f"{d.max():.2f} plan {self.planning_time.total_planning_time.current*1e3:.1f} ms"
+                )
+        self.summarize()
+        return self.summary()
+
+    # ==================================================================
+    def is_finished(self) -> bool:
+        if self.planner_state in (PlannerState.PATROL, PlannerState.LAND):
+            return False
+        target = (
+            self.start_point
+            if self.planner_state == PlannerState.GOBACK
+            else self.desired_goal
+        )
+        dist = np.linalg.norm(self.pos - target, axis=-1)
+        if np.all(dist <= self.param.goal_threshold):
+            self.total_flight_time = self.sim_time
+            return True
+        return False
+
+    # ==================================================================
+    def do_step(self):
+        """Ideal dynamics: sample own planned trajectory at +Δt.
+
+        Reference: AgentManager::doStep, src/agent_manager.cpp:29-50.
+        """
+        p = self.param
+        ctrl = jnp.asarray(self.desired_ctrl)
+        pos, vel, acc = trajectory.state_at(ctrl, p.multisim_time_step, p.dt)
+        self.pos = np.asarray(pos, np.float64)
+        self.vel = np.asarray(vel, np.float64)
+        self.acc = np.asarray(acc, np.float64)
+        if p.world_dimension == 2:
+            self.pos[:, 2] = p.world_z_2d
+        self.sim_time += p.multisim_time_step
+
+    # ==================================================================
+    def _groups(self) -> List[List[int]]:
+        """Connected components under L∞ communication range.
+
+        Reference: multi_sync_simulator.cpp:160-194.
+        """
+        p = self.param
+        A = self.A
+        if p.communication_range <= 0:
+            return [list(range(A))]
+        d = np.max(
+            np.abs(self.pos[:, None] - self.pos[None, :]), axis=-1
+        )
+        adj = d < p.communication_range
+        seen = np.zeros(A, bool)
+        groups = []
+        for i in range(A):
+            if seen[i]:
+                continue
+            stack = [i]
+            comp = []
+            seen[i] = True
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for v in np.nonzero(adj[u] & ~seen)[0]:
+                    seen[v] = True
+                    stack.append(v)
+            groups.append(sorted(comp))
+        return groups
+
+    # ==================================================================
+    def decentralized_mapp(self):
+        """Per-group MAPF + next-waypoint vetting.
+
+        Reference: MultiSyncSimulator::decentralizedMAPP,
+        src/multi_sync_simulator.cpp:160-303.
+        """
+        p = self.param
+        if p.goal_mode != GoalMode.GRID_BASED_PLANNER:
+            return
+
+        # stall recovery: if the fleet hasn't physically moved for a while,
+        # re-sync the virtual waypoint state to the physical positions and
+        # drop committed plans (anytime-recovery analog of the reference's
+        # disturbance reset, traj_planner.cpp:312-319)
+        moved = np.linalg.norm(self.pos - self._last_pos, axis=-1)
+        at_goal = (
+            np.linalg.norm(self.pos - self.desired_goal, axis=-1)
+            < p.goal_threshold
+        )
+        self._stall_count = np.where(
+            (moved < 2e-3) & ~at_goal, self._stall_count + 1, 0
+        )
+        self._last_pos = self.pos.copy()
+        stalled = self._stall_count >= 15
+        if stalled.any():
+            self._mapf_plans.clear()
+            for i in np.nonzero(stalled)[0]:
+                self.next_waypoint[i] = self.pos[i].copy()
+                self._stall_count[i] = 0
+
+        occ2d = self.coarse.occ2d().copy()
+        seen_sigs = set()
+        for group in self._groups():
+            timer = Timer()
+            cells_start = [tuple(self.coarse.point_to_node(self.start_point[i])[:2])
+                           for i in group]
+            cells_cur = [tuple(self.coarse.point_to_node(self.next_waypoint[i])[:2])
+                         for i in group]
+            cells_goal = [tuple(self.coarse.point_to_node(self.desired_goal[i])[:2])
+                          for i in group]
+            # unblock occupied current/goal cells (grid_based_planner.cpp:262-283)
+            occ_grp = occ2d.copy()
+            for c in cells_cur + cells_goal:
+                occ_grp[c] = False
+
+            # --- MAPF plan commitment -----------------------------------
+            # The reference re-solves MAPF from scratch every step
+            # (grid_based_planner.cpp:324-341); with replanning-by-step,
+            # fresh PIBT solves can alternate between symmetric joint
+            # plans, producing waypoint limit cycles. We commit to one
+            # cached joint plan per (group, goals) signature and follow
+            # it until exhausted or diverged, re-solving only then.
+            sig = (tuple(group), tuple(cells_goal))
+            seen_sigs.add(sig)
+            cached = self._mapf_plans.get(sig)
+            if cached is not None:
+                # advance each agent's pointer to its current waypoint
+                ok_cache = True
+                for gi, i in enumerate(group):
+                    path, k = cached[gi]
+                    while k + 1 < len(path) and path[k] != cells_cur[gi]:
+                        k += 1
+                    if path[k] != cells_cur[gi]:
+                        ok_cache = False
+                        break
+                    cached[gi] = (path, k)
+                if ok_cache and all(
+                    k + 1 < len(path) or path[k] == cells_goal[gi]
+                    for gi, (path, k) in enumerate(cached)
+                ):
+                    paths = [
+                        [cells_cur[gi]] + list(path[k + 1:])
+                        for gi, (path, k) in enumerate(cached)
+                    ]
+                else:
+                    cached = None
+
+            if cached is None:
+                if p.mapf_mode == MAPFMode.PIBT:
+                    paths = pibtmod.solve_pibt(
+                        occ_grp, cells_start, cells_cur, cells_goal, seed=0,
+                        init_elapsed=[self.mapf_elapsed[i] for i in group],
+                    )
+                else:
+                    paths = ecbsmod.solve_ecbs(
+                        occ_grp, cells_start, cells_cur, cells_goal
+                    )
+                if paths is not None:
+                    # normalize every path to start at the CURRENT cell
+                    # (PIBT prepends the mission-start config, pibt.cpp:44;
+                    # ECBS starts from current) and compress consecutive
+                    # waits (the per-agent update gates already provide
+                    # the waiting behavior)
+                    norm = []
+                    for gi in range(len(group)):
+                        pth = list(paths[gi])
+                        if pth[0] != cells_cur[gi]:
+                            pth = pth[1:] if len(pth) > 1 else pth
+                        if pth[0] != cells_cur[gi]:
+                            pth = [cells_cur[gi]] + pth
+                        dedup = [pth[0]]
+                        for c in pth[1:]:
+                            if c != dedup[-1]:
+                                dedup.append(c)
+                        norm.append((dedup, 0))
+                    self._mapf_plans[sig] = norm
+                    paths = [pth for pth, _ in norm]
+            self.planning_time.mapf_time.update(timer.stop())
+            if paths is None:
+                continue  # MAPF failed: keep previous waypoints (:295-297)
+
+            desired_wp = {}
+            for gi, i in enumerate(group):
+                path = paths[gi]
+                cell = path[min(1, len(path) - 1)]
+                desired_wp[i] = self.coarse.node_to_point(
+                    np.array([cell[0], cell[1], 0]))
+
+            # communication-range reachability check (:217-252)
+            update_cand = set()
+            for gi, i in enumerate(group):
+                wp = desired_wp[i]
+                ok = True
+                if p.communication_range > 0:
+                    pts = [self.desired_ctrl[i, m, 0] for m in range(p.M)]
+                    pts.append(self.desired_ctrl[i, -1, -1])
+                    if not self.has_prev[i]:
+                        pts = [self.pos[i]]
+                    for q in pts:
+                        if np.max(np.abs(wp - q)) > 0.5 * p.communication_range - 1e-6:
+                            ok = False
+                            break
+                # body-lag bound: don't advance the waypoint until the
+                # agent is physically within one grid cell of the current
+                # one (keeps the virtual MAPF state from "completing"
+                # swaps the bodies can't execute; the reference gates on
+                # goal convergence only)
+                if (
+                    np.linalg.norm(self.pos[i] - self.next_waypoint[i])
+                    > p.grid_resolution + 1e-6
+                ):
+                    ok = False
+                if (
+                    ok
+                    and np.linalg.norm(wp - self.next_waypoint[i]) > 1e-6
+                    and np.linalg.norm(
+                        self.current_goal[i] - self.next_waypoint[i]
+                    ) < 1e-6
+                ):
+                    update_cand.add(i)
+
+            # mutual-occupancy vetting (:254-288)
+            update = False
+            while not update and update_cand and len(group) > 1:
+                for i in list(update_cand):
+                    update = True
+                    for j in group:
+                        if i == j:
+                            continue
+                        wp_j = (
+                            desired_wp[j]
+                            if j in update_cand
+                            else self.next_waypoint[j]
+                        )
+                        if np.linalg.norm(desired_wp[i] - wp_j) < 1e-6:
+                            update_cand.discard(i)
+                            update = False
+                            break
+                    if not update:
+                        break
+
+            for i in update_cand:
+                self.next_waypoint[i] = desired_wp[i]
+
+            # persistent PIBT priority: agents whose waypoint is not yet at
+            # their goal cell accumulate priority across steps
+            for gi, i in enumerate(group):
+                at_goal = (
+                    tuple(self.coarse.point_to_node(self.next_waypoint[i])[:2])
+                    == cells_goal[gi]
+                )
+                self.mapf_elapsed[i] = 0 if at_goal else self.mapf_elapsed[i] + 1
+
+        # prune plans for groups that no longer exist
+        self._mapf_plans = {
+            s: v for s, v in self._mapf_plans.items() if s in seen_sigs
+        }
+
+    # ==================================================================
+    def plan(self) -> bool:
+        p = self.param
+        timer = Timer()
+        self.planner_seq += 1
+
+        # planning-state transition (agent_manager.cpp:225-240)
+        if self.planner_state == PlannerState.GOTO:
+            self.desired_goal = self.mission.stacked()["goal"].copy()
+            if p.world_dimension == 2:
+                self.desired_goal[:, 2] = p.world_z_2d
+        elif self.planner_state == PlannerState.PATROL:
+            reached = (
+                np.linalg.norm(self.pos - self.desired_goal, axis=-1)
+                < p.goal_threshold
+            )
+            for i in np.nonzero(reached)[0]:
+                self.desired_goal[i], self.start_point[i] = (
+                    self.start_point[i].copy(),
+                    self.desired_goal[i].copy(),
+                )
+        elif self.planner_state == PlannerState.GOBACK:
+            self.desired_goal = self.start_point.copy()
+
+        # dynamic obstacle states at current sim time
+        OD = self.mission.on
+        if OD > 0:
+            obs_states = self.obstacle_generator.states_at(self.sim_time)
+            dyn_pos = np.stack([o.position for o in obs_states])
+            dyn_vel = np.stack([o.velocity for o in obs_states])
+            dyn_r = np.array([o.radius for o in obs_states])
+            dyn_dw = np.array([o.downwash for o in obs_states])
+            dyn_acc = np.array([o.max_acc for o in obs_states])
+            dyn_valid = np.ones(OD, bool)
+        else:
+            dyn_pos = np.zeros((0, 3))
+            dyn_vel = np.zeros((0, 3))
+            dyn_r = dyn_dw = dyn_acc = np.zeros(0)
+            dyn_valid = np.zeros(0, bool)
+
+        # disturbance: observed state must match own prediction start
+        pred_start = self.prev_ctrl[:, 0, 0]
+        disturbed = self.has_prev & (
+            np.linalg.norm(pred_start - self.pos, axis=-1) > p.reset_threshold
+        )
+
+        f32 = jnp.float32
+        inp = StepInputs(
+            pos=jnp.asarray(self.pos, f32),
+            vel=jnp.asarray(self.vel, f32),
+            acc=jnp.asarray(self.acc, f32),
+            prev_ctrl=jnp.asarray(self.prev_ctrl, f32),
+            has_prev=jnp.asarray(self.has_prev),
+            is_disturbed=jnp.asarray(disturbed),
+            desired_goal=jnp.asarray(self.desired_goal, f32),
+            current_goal=jnp.asarray(self.current_goal, f32),
+            next_waypoint=jnp.asarray(self.next_waypoint, f32),
+            sfc_lo=jnp.asarray(self.sfc_lo),
+            sfc_hi=jnp.asarray(self.sfc_hi),
+            sfc_initialized=jnp.asarray(self.sfc_initialized),
+            planner_seq=jnp.int32(self.planner_seq),
+            dynobs_pos=jnp.asarray(dyn_pos, f32),
+            dynobs_vel=jnp.asarray(dyn_vel, f32),
+            dynobs_radius=jnp.asarray(dyn_r, f32),
+            dynobs_downwash=jnp.asarray(dyn_dw, f32),
+            dynobs_max_acc=jnp.asarray(dyn_acc, f32),
+            dynobs_valid=jnp.asarray(dyn_valid),
+        )
+        out = self.planner.step(self.fleet, inp)
+        out.desired_ctrl.block_until_ready()
+
+        self.desired_ctrl = np.asarray(out.desired_ctrl, np.float64)
+        self.prev_ctrl = self.desired_ctrl.copy()
+        self.current_goal = np.asarray(out.current_goal, np.float64)
+        self.sfc_lo = np.asarray(out.sfc_lo)
+        self.sfc_hi = np.asarray(out.sfc_hi)
+        self.sfc_initialized = np.asarray(out.sfc_initialized)
+        self.has_prev[:] = True
+        self.qp_converged = np.asarray(out.qp_converged)
+
+        elapsed = timer.stop()
+        # per-agent statistics parity: the batched solve serves all agents
+        # at once; record the whole-step wall time as the per-step planning
+        # time (the reference records per-agent times and averages).
+        self.planning_time.total_planning_time.update(elapsed)
+        self.planning_time.traj_optimization_time.update(elapsed)
+        return True
+
+    # ==================================================================
+    def save_simulation_result(self):
+        """Safety/dynamics audit + trajectory history.
+
+        Reference: saveSimulationResult, multi_sync_simulator.cpp:448-584.
+        """
+        p = self.param
+        s = self.s
+        rec = p.multisim_save_time_step
+        future = 0.0
+        ctrl = jnp.asarray(self.desired_ctrl)
+        while future < p.multisim_time_step - 1e-6:
+            pos, vel, acc = (
+                np.asarray(v) for v in trajectory.state_at(ctrl, future, p.dt)
+            )
+            self.traj_history.append(pos.copy())
+
+            # agent-agent safety (ellipsoidal downwash distance)
+            r = s["radius"]
+            dw = s["downwash"]
+            dw_pair = (dw[:, None] * r[:, None] + dw[None, :] * r[None, :]) / (
+                r[:, None] + r[None, :]
+            )
+            d = self.pos * 0  # placeholder
+            diff = pos[:, None] - pos[None, :]
+            dist = np.sqrt(
+                diff[..., 0] ** 2
+                + diff[..., 1] ** 2
+                + (diff[..., 2] / dw_pair) ** 2
+            )
+            ratio = dist / (r[:, None] + r[None, :])
+            np.fill_diagonal(ratio, np.inf)
+            mr = ratio.min()
+            if mr < self.safety_ratio_agent:
+                self.safety_ratio_agent = mr
+            if mr < 1:
+                self.is_collided = True
+
+            # agent-obstacle safety
+            if self.mission.on > 0:
+                obs_states = self.obstacle_generator.states_at(
+                    self.sim_time + future
+                )
+                for o in obs_states:
+                    dwo = (o.radius * o.downwash + r * dw) / (r + o.radius)
+                    do = pos - o.position[None]
+                    dd = np.sqrt(
+                        do[:, 0] ** 2 + do[:, 1] ** 2 + (do[:, 2] / dwo) ** 2
+                    )
+                    ro = dd / (r + o.radius)
+                    mo = ro.min()
+                    if mo < self.safety_ratio_obs:
+                        self.safety_ratio_obs = mo
+                    if mo < 1:
+                        self.is_collided = True
+
+            # dynamic limit excess
+            for k in range(p.world_dimension):
+                vex = (vel[:, k] - s["max_vel"][:, k]) / s["max_vel"][:, k]
+                aex = (acc[:, k] - s["max_acc"][:, k]) / s["max_acc"][:, k]
+                self.vel_excess_ratio[k] = max(
+                    self.vel_excess_ratio[k], vex.max(), 0.0
+                )
+                self.acc_excess_ratio[k] = max(
+                    self.acc_excess_ratio[k], aex.max(), 0.0
+                )
+
+            if self.save_result:
+                self._append_sim_csv(future, pos, vel, acc)
+            future += rec
+
+    # ==================================================================
+    def _append_sim_csv(self, future, pos, vel, acc):
+        t = self.sim_time + future
+        cols = []
+        for qi in range(self.A):
+            cols.extend(
+                [
+                    str(qi),
+                    f"{t:.6g}",
+                    *(f"{x:.6g}" for x in pos[qi]),
+                    *(f"{x:.6g}" for x in vel[qi]),
+                    *(f"{x:.6g}" for x in acc[qi]),
+                    f"{self.planning_time.total_planning_time.current:.6g}",
+                ]
+            )
+        if self.mission.on > 0:
+            obs_states = self.obstacle_generator.states_at(t)
+            for oi, o in enumerate(obs_states):
+                cols.extend(
+                    [str(oi), f"{t:.6g}", *(f"{x:.6g}" for x in o.position),
+                     f"{o.radius:.6g}"]
+                )
+        self._sim_csv_rows.append(",".join(cols))
+
+    # ==================================================================
+    def total_distance(self) -> float:
+        if len(self.traj_history) < 2:
+            return 0.0
+        hist = np.stack(self.traj_history)  # [T, A, 3]
+        return float(
+            np.sum(np.linalg.norm(np.diff(hist, axis=0), axis=-1))
+        )
+
+    # ==================================================================
+    def summarize(self):
+        if self.save_result:
+            self._write_sim_csv()
+            self._write_summary_csv()
+
+    def _write_sim_csv(self):
+        path = os.path.join(
+            self.log_dir,
+            f"simulation_{self.mission_start_time}_{self.file_name_param}.csv",
+        )
+        header = []
+        for qi in range(self.A):
+            header.append("id,t,px,py,pz,vx,vy,vz,ax,ay,az,planning_time")
+        for oi in range(self.mission.on):
+            header.append("obs_id,t,px,py,pz,size")
+        with open(path, "w") as f:
+            f.write(",".join(header) + "\n")
+            f.write("\n".join(self._sim_csv_rows) + "\n")
+
+    def _write_summary_csv(self):
+        p = self.param
+        path = os.path.join(self.log_dir, f"summary_{self.file_name_param}.csv")
+        fresh = not os.path.exists(path) or os.path.getsize(path) == 0
+        with open(path, "a") as f:
+            if fresh:
+                f.write(
+                    "start_time,total_flight_time,total_flight_distance,"
+                    "safety_ratio_agent,safety_ratio_obs,"
+                    "vel_excess_ratio,acc_excess_ratio,"
+                    "mapf_time_average,mapf_time_min,mapf_time_max,"
+                    "planning_time_average,planning_time_min,planning_time_max,"
+                    "initial_traj_planning_time,obstacle_prediction_time,"
+                    "goal_planning_time,lsc_generation_time,"
+                    "sfc_generation_time,traj_optimization_time,"
+                    "mission_file_name,world_file_name,"
+                    "planner_mode,goal_mode,mapf_mode,"
+                    "communication_range,world_dimension,M,dt\n"
+                )
+            pt = self.planning_time
+            f.write(
+                f"{self.mission_start_time},{self.total_flight_time},"
+                f"{self.total_distance()},"
+                f"{self.safety_ratio_agent},{self.safety_ratio_obs},"
+                f"{np.linalg.norm(self.vel_excess_ratio)},"
+                f"{np.linalg.norm(self.acc_excess_ratio)},"
+                f"{pt.mapf_time.average},{pt.mapf_time.min if pt.mapf_time.N else 0},{pt.mapf_time.max},"
+                f"{pt.total_planning_time.average},{pt.total_planning_time.min if pt.total_planning_time.N else 0},{pt.total_planning_time.max},"
+                f"{pt.initial_traj_planning_time.average},"
+                f"{pt.obstacle_prediction_time.average},"
+                f"{pt.goal_planning_time.average},"
+                f"{pt.lsc_generation_time.average},"
+                f"{pt.sfc_generation_time.average},"
+                f"{pt.traj_optimization_time.average},"
+                f"{os.path.basename(self.mission.mission_file_name)},"
+                f"{os.path.basename(self.mission.world_file_name)},"
+                f"{p.planner_mode_str()},{p.goal_mode_str()},{p.mapf_mode_str()},"
+                f"{p.communication_range},{p.world_dimension},{p.M},{p.dt}\n"
+            )
+
+    # ==================================================================
+    def summary(self) -> dict:
+        pt = self.planning_time
+        return {
+            "total_flight_time": self.total_flight_time,
+            "total_flight_distance": self.total_distance(),
+            "safety_ratio_agent": float(self.safety_ratio_agent),
+            "safety_ratio_obs": float(self.safety_ratio_obs),
+            "vel_excess_ratio": float(np.linalg.norm(self.vel_excess_ratio)),
+            "acc_excess_ratio": float(np.linalg.norm(self.acc_excess_ratio)),
+            "planning_time_avg_ms": pt.total_planning_time.average * 1e3,
+            "planning_time_max_ms": pt.total_planning_time.max * 1e3,
+            "mapf_time_avg_ms": pt.mapf_time.average * 1e3,
+            "is_collided": self.is_collided,
+            "qp_failed": self.qp_failed,
+            "planner_seq": self.planner_seq,
+        }
