@@ -129,8 +129,7 @@ class MultiSyncSimulator:
         self.planner_seq = 0
         self.mapf_elapsed = np.zeros(self.A, dtype=int)
         self._mapf_plans = {}
-        self._last_pos = self.pos.copy()
-        self._stall_count = np.zeros(self.A, dtype=int)
+        self._pos_history: List[np.ndarray] = []
         self.planner_state = (
             PlannerState.PATROL if p.multisim_patrol else PlannerState.GOTO
         )
@@ -257,21 +256,25 @@ class MultiSyncSimulator:
         # re-sync the virtual waypoint state to the physical positions and
         # drop committed plans (anytime-recovery analog of the reference's
         # disturbance reset, traj_planner.cpp:312-319)
-        moved = np.linalg.norm(self.pos - self._last_pos, axis=-1)
-        at_goal = (
-            np.linalg.norm(self.pos - self.desired_goal, axis=-1)
-            < p.goal_threshold
-        )
-        self._stall_count = np.where(
-            (moved < 2e-3) & ~at_goal, self._stall_count + 1, 0
-        )
-        self._last_pos = self.pos.copy()
-        stalled = self._stall_count >= 15
-        if stalled.any():
-            self._mapf_plans.clear()
-            for i in np.nonzero(stalled)[0]:
-                self.next_waypoint[i] = self.pos[i].copy()
-                self._stall_count[i] = 0
+        # stalled = net displacement over the last WINDOW steps below
+        # threshold (per-step deltas are noisy: agents pressed against
+        # constraints micro-wiggle)
+        WINDOW, THRESH = 15, 0.05
+        self._pos_history.append(self.pos.copy())
+        if len(self._pos_history) > WINDOW + 1:
+            self._pos_history.pop(0)
+        if len(self._pos_history) > WINDOW:
+            net = np.linalg.norm(self.pos - self._pos_history[0], axis=-1)
+            at_goal = (
+                np.linalg.norm(self.pos - self.desired_goal, axis=-1)
+                < p.goal_threshold
+            )
+            stalled = (net < THRESH) & ~at_goal
+            if stalled.any():
+                self._mapf_plans.clear()
+                self._pos_history.clear()
+                for i in np.nonzero(stalled)[0]:
+                    self.next_waypoint[i] = self.pos[i].copy()
 
         occ2d = self.coarse.occ2d().copy()
         seen_sigs = set()
