@@ -16,6 +16,13 @@ Design stance (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# The QP solver's Cholesky/KKT algebra needs true float32 matmuls; the
+# TPU default (bfloat16 MXU passes) destroys ADMM convergence. The
+# affected matrices are tiny, so the precision cost is negligible.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from lsc_dr_planner_tpu.config import Param, PlannerMode, GoalMode, MAPFMode
 from lsc_dr_planner_tpu.mission import Mission
 

@@ -20,7 +20,6 @@ with this module as behavioral reference and fallback.
 
 from __future__ import annotations
 
-import random
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -28,6 +27,24 @@ import numpy as np
 from lsc_dr_planner_tpu.mapf.grid import _NBR4, bfs_distances
 
 MAX_TIMESTEP = 5000
+
+
+class Lcg:
+    """Tiny deterministic LCG + Fisher–Yates shuffle, implemented
+    identically in the native C++ backend (native/mapf.cpp) so both
+    backends produce bit-identical plans."""
+
+    def __init__(self, seed: int):
+        self.s = (seed * 2654435761 + 1) & 0xFFFFFFFF
+
+    def next(self) -> int:
+        self.s = (self.s * 1664525 + 1013904223) & 0xFFFFFFFF
+        return self.s
+
+    def shuffle(self, xs) -> None:
+        for i in range(len(xs) - 1, 0, -1):
+            j = self.next() % (i + 1)
+            xs[i], xs[j] = xs[j], xs[i]
 
 
 class _Agent:
@@ -65,7 +82,7 @@ def solve_pibt(
     """
     n = len(currents)
     occ2d = np.asarray(occ2d, dtype=bool)
-    rng = random.Random(seed)
+    rng = Lcg(seed)
 
     dists = [bfs_distances(occ2d, tuple(goals[i])) for i in range(n)]
 

@@ -341,9 +341,14 @@ def generate_random_mission(
     min_separation: float = 0.6,
     seed: int = 0,
     quad: Optional[dict] = None,
+    snap_grid: Optional[float] = 0.5,
 ) -> Mission:
     """Random start/goal mission with pairwise separation (rejection
-    sampling), equivalent in capability to matlab/mission_generator.m."""
+    sampling), equivalent in capability to matlab/mission_generator.m.
+
+    `snap_grid`: starts/goals are snapped to this lattice (the shipped
+    benchmark missions place all goals on the 0.5 m MAPF grid, which the
+    DR waypoint layer needs to converge to the exact goal point)."""
     rng = np.random.default_rng(seed)
     world_min = np.asarray(world_min, dtype=np.float64)
     world_max = np.asarray(world_max, dtype=np.float64)
@@ -353,6 +358,9 @@ def generate_random_mission(
         for _ in range(n_agents):
             for _attempt in range(10000):
                 p = world_min[:2] + rng.random(2) * (world_max[:2] - world_min[:2])
+                if snap_grid:
+                    p = np.round(p / snap_grid) * snap_grid
+                    p = np.clip(p, world_min[:2], world_max[:2])
                 if all(np.linalg.norm(p - q) > min_separation for q in pts):
                     pts.append(p)
                     break

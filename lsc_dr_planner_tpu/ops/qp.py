@@ -257,17 +257,20 @@ def constraint_bounds(cfg: QPConfig, inp_leaf):
     lsc_l = jnp.where(inp_leaf.lsc_active, inp_leaf.lsc_rhs, -_INF)
     add(lsc_l, jnp.full_like(lsc_l, _INF), cfg.rho * _RHO_SCALE["lsc"])
 
-    # velocity: |Δ| ≤ vmax·dt/n; skip m=0, i<2 (involves pinned points)
-    vcap = (inp_leaf.vmax * dt / n)[:, None, None] * jnp.ones((dim, M, n), dtype)
+    # velocity: |Δ| ≤ vmax·dt/n; skip m=0, i<2 (involves pinned points).
+    # Caps carry a 5% robustness buffer so ε-accurate ADMM solutions stay
+    # within the true dynamic limits (the audited excess ratio must be 0;
+    # the reference's exact simplex needs no buffer).
+    vcap = (0.95 * inp_leaf.vmax * dt / n)[:, None, None] * jnp.ones((dim, M, n), dtype)
     vmask = np.ones((M, n), dtype=bool)
     vmask[0, :2] = False
     vcap = jnp.where(jnp.asarray(vmask)[None], vcap, _INF)
     add(-vcap, vcap, cfg.rho * _RHO_SCALE["vel"])
 
     # acceleration: |Δ²| ≤ amax·dt²/(n(n−1)); skip m=0, i=0
-    acap = (inp_leaf.amax * dt * dt / (n * (n - 1)))[:, None, None] * jnp.ones(
-        (dim, M, n - 1), dtype
-    )
+    acap = (0.95 * inp_leaf.amax * dt * dt / (n * (n - 1)))[
+        :, None, None
+    ] * jnp.ones((dim, M, n - 1), dtype)
     amask = np.ones((M, n - 1), dtype=bool)
     amask[0, 0] = False
     acap = jnp.where(jnp.asarray(amask)[None], acap, _INF)
@@ -317,16 +320,78 @@ def cost_matrices(cfg: QPConfig, inp_leaf):
 # ----------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _static_reduced_rows(cfg: QPConfig):
+    """Precompute (numpy) everything data-INDEPENDENT of the reduced
+    constraint system: the non-LSC row blocks of A·N (vel/acc/comm/bound
+    families evaluated on the nullspace basis), their pin offsets A·X_pin,
+    and the reduced jerk-cost block. Only the LSC block depends on
+    per-step data and is assembled with one outer product at runtime."""
+    dim, M, n, N = cfg.dim, cfg.M, cfg.n, cfg.N
+    MN = M * N
+    V = dim * MN
+    N_null, X_pin = _equality_basis(M, n, cfg.phi, cfg.dt, cfg.stop_at_horizon)
+    Kdim = N_null.shape[1]
+
+    # static rows on the FULL x (per-dim structure): build per-dim blocks
+    rows_dim = []  # each: [r, MN] acting on one dim's flat control points
+    # velocity diffs
+    for m in range(M):
+        for i in range(n):
+            r = np.zeros(MN)
+            r[m * N + i + 1] = 1
+            r[m * N + i] = -1
+            rows_dim.append(r)
+    n_vel = M * n
+    # acceleration second diffs
+    for m in range(M):
+        for i in range(n - 1):
+            r = np.zeros(MN)
+            r[m * N + i + 2] = 1
+            r[m * N + i + 1] = -2
+            r[m * N + i] = 1
+            rows_dim.append(r)
+    n_acc = M * (n - 1)
+    # comm pairs
+    n_comm = 0
+    if cfg.use_comm:
+        mi_arr, mm_arr = _comm_pairs(M)
+        for mi, mm in zip(mi_arr, mm_arr):
+            r = np.zeros(MN)
+            r[mm * N + n] += 1
+            r[mi * N + 0] -= 1
+            rows_dim.append(r)
+        n_comm = len(mi_arr)
+    # bounds (identity)
+    rows_dim.extend(np.eye(MN))
+    A_dim = np.asarray(rows_dim)  # [r_dim, MN]
+
+    An_static_dim = A_dim @ N_null  # [r_dim, Kdim]
+    Apin_static_dim = A_dim @ X_pin  # [r_dim, phi]
+
+    P_dim_base = np.kron(
+        np.eye(M), 2.0 * cfg.control_input_weight
+        * bernstein.jerk_cost_matrix(n, cfg.phi, 1, cfg.dt)
+    )  # terminal diagonal added at runtime
+    return (
+        N_null, X_pin, An_static_dim, Apin_static_dim, P_dim_base,
+        (n_vel, n_acc, n_comm),
+    )
+
+
 def solve_single(cfg: QPConfig, inp_leaf) -> tuple:
     """Solve one agent's QP (vmapped over the fleet by `solve`)."""
     dtype = inp_leaf.p0.dtype
-    V = cfg.n_vars
-    N_null_np, X_pin_np = _equality_basis(
-        cfg.M, cfg.n, cfg.phi, cfg.dt, cfg.stop_at_horizon
+    dim, M, n, N = cfg.dim, cfg.M, cfg.n, cfg.N
+    MN = M * N
+    (N_null_np, X_pin_np, An_sd_np, Apin_sd_np, P_base_np, _counts) = (
+        _static_reduced_rows(cfg)
     )
     Kdim = N_null_np.shape[1]
     N_null = jnp.asarray(N_null_np, dtype)  # [MN, Kdim]
     X_pin = jnp.asarray(X_pin_np, dtype)  # [MN, phi]
+    An_sd = jnp.asarray(An_sd_np, dtype)  # [r_dim, Kdim]
+    Apin_sd = jnp.asarray(Apin_sd_np, dtype)
 
     pins = pinned_values(
         cfg, inp_leaf.p0[None], inp_leaf.v0[None], inp_leaf.a0[None]
@@ -339,41 +404,57 @@ def solve_single(cfg: QPConfig, inp_leaf) -> tuple:
         x = jnp.einsum("vk,dk->dv", N_null, xi) + jnp.einsum(
             "vp,dp->dv", X_pin, pins
         )
-        return x.reshape(cfg.dim, cfg.M, cfg.N)
+        return x.reshape(dim, M, N)
 
     def lower(x):  # x [dim, M, N] → ξ [dim, Kdim] (orthonormal restriction)
         xp = jnp.einsum("vp,dp->dv", X_pin, pins)
-        return jnp.einsum("vk,dv->dk", N_null, x.reshape(cfg.dim, -1) - xp)
+        return jnp.einsum("vk,dv->dk", N_null, x.reshape(dim, -1) - xp)
 
-    # reduced constraint matrix via basis push-through: Aξ [C, dim·Kdim]
-    eye = jnp.eye(cfg.dim * Kdim, dtype=dtype).reshape(-1, cfg.dim, Kdim)
-    zeros_pin = jnp.zeros_like(pins)
+    # ---- reduced constraint matrix, closed form -----------------------
+    # LSC rows (o,m,i) on ξ[k,j]: n[o,m,k]·N_null[mN+i, j]
+    Nn3 = N_null.reshape(M, N, Kdim)
+    An_lsc = jnp.einsum("omk,mij->omikj", inp_leaf.lsc_normals, Nn3).reshape(
+        cfg.n_obs * M * N, dim * Kdim
+    )
+    # static families, family-major with dim-major rows inside each family
+    # (matches constraint_bounds's flat layout)
+    n_vel, n_acc, n_comm = _counts
+    fam_slices = []
+    off = 0
+    for cnt in (n_vel, n_acc, n_comm, MN):
+        if cnt:
+            fam_slices.append(slice(off, off + cnt))
+        off += cnt
+    eye_d = jnp.eye(dim, dtype=dtype)
+    An_stat = jnp.concatenate(
+        [jnp.kron(eye_d, An_sd[s]) for s in fam_slices], axis=0
+    )
+    An = jnp.concatenate([An_lsc, An_stat], axis=0)
 
-    def lift_homog(xi):
-        return jnp.einsum("vk,dk->dv", N_null, xi).reshape(
-            cfg.dim, cfg.M, cfg.N
-        )
-
-    An = jax.vmap(
-        lambda e: constraint_rows(cfg, lift_homog(e), inp_leaf.lsc_normals)
-    )(eye).T  # [C, dim·Kdim]
-    xpart = jnp.einsum("vp,dp->dv", X_pin, pins).reshape(cfg.dim, cfg.M, cfg.N)
-    b_off = constraint_rows(cfg, xpart, inp_leaf.lsc_normals)  # [C]
+    # pin offsets b_off = A·x_p
+    xpart = jnp.einsum("vp,dp->dv", X_pin, pins)  # [dim, MN]
+    xp3 = xpart.reshape(dim, M, N)
+    b_lsc = jnp.einsum("omk,kmi->omi", inp_leaf.lsc_normals, xp3).reshape(-1)
+    b_stat = jnp.concatenate(
+        [
+            jnp.einsum("rp,dp->dr", Apin_sd[s], pins).reshape(-1)
+            for s in fam_slices
+        ]
+    )
+    b_off = jnp.concatenate([b_lsc, b_stat])
     ln, un = l - b_off, u - b_off
 
     # reduced cost
-    P_blk = jnp.kron(jnp.eye(cfg.M, dtype=dtype), P_seg)  # [MN, MN]
-    tvec = jnp.zeros((cfg.M, cfg.N), dtype).at[:, cfg.n].set(tdiag).reshape(-1)
-    P_dim = P_blk + jnp.diag(tvec)  # per-dim [MN, MN]
-    Pn_dim = N_null.T @ P_dim @ N_null  # [Kdim, Kdim] shared across dims
-    # q_ξ = Nᵀ (q + P x_p) per dim
+    tvec = jnp.zeros((M, N), dtype).at[:, n].set(tdiag).reshape(-1)
+    P_dim = jnp.asarray(P_base_np, dtype) + jnp.diag(tvec)  # [MN, MN]
+    Pn_dim = N_null.T @ P_dim @ N_null  # [Kdim, Kdim]
     qn = jnp.einsum(
         "vk,dv->dk",
         N_null,
-        q.reshape(cfg.dim, -1) + jnp.einsum("vw,dw->dv", P_dim, xpart.reshape(cfg.dim, -1)),
+        q.reshape(dim, -1) + jnp.einsum("vw,dw->dv", P_dim, xpart),
     ).reshape(-1)
 
-    Pn = jnp.kron(jnp.eye(cfg.dim, dtype=dtype), Pn_dim)
+    Pn = jnp.kron(jnp.eye(dim, dtype=dtype), Pn_dim)
     K = Pn + cfg.sigma * jnp.eye(cfg.dim * Kdim, dtype=dtype) + (An.T * rho) @ An
     chol = jnp.linalg.cholesky(K)
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from lsc_dr_planner_tpu.config import GoalMode, MAPFMode, Param, PlannerMode
 from lsc_dr_planner_tpu.mapf import ecbs as ecbsmod
-from lsc_dr_planner_tpu.mapf import pibt as pibtmod
+from lsc_dr_planner_tpu.mapf import native as pibtmod
 from lsc_dr_planner_tpu.mapf.grid import CoarseGrid, build_coarse_grid
 from lsc_dr_planner_tpu.mission import Mission
 from lsc_dr_planner_tpu.ops import trajectory

@@ -1,0 +1,139 @@
+"""MAPF solver tests: validity, determinism, native/Python parity."""
+
+import numpy as np
+import pytest
+
+from lsc_dr_planner_tpu.mapf import ecbs, native, pibt
+from lsc_dr_planner_tpu.mapf.grid import bfs_distances, astar_path, build_coarse_grid
+
+
+def _validate(paths, occ, goals):
+    """No vertex/swap conflicts; everyone ends at the goal; moves legal."""
+    n = len(paths)
+    L = max(len(p) for p in paths)
+
+    def at(i, t):
+        p = paths[i]
+        return p[t] if t < len(p) else p[-1]
+
+    for i in range(n):
+        assert at(i, L - 1) == tuple(goals[i])
+        for t in range(1, len(paths[i])):
+            a, b = paths[i][t - 1], paths[i][t]
+            assert abs(a[0] - b[0]) + abs(a[1] - b[1]) <= 1
+            assert not occ[b[0], b[1]]
+    # note: paths[*][0] may be the mission-start config (PIBT convention);
+    # conflict-check from t>=2 of the step sequence
+    for t in range(2, L):
+        seen = {}
+        for i in range(n):
+            v = at(i, t)
+            assert v not in seen, f"vertex conflict t={t}"
+            seen[v] = i
+        for i in range(n):
+            for j in range(i + 1, n):
+                if at(i, t) == at(j, t - 1) and at(j, t) == at(i, t - 1):
+                    raise AssertionError(f"swap conflict t={t}")
+
+
+def _random_instance(seed, X=12, Y=12, n=6, density=0.15):
+    rng = np.random.default_rng(seed)
+    occ = rng.random((X, Y)) < density
+    free = np.argwhere(~occ)
+    rng.shuffle(free)
+    # choose mutually reachable cells
+    base = tuple(free[0])
+    d0 = bfs_distances(occ, base)
+    reach = [tuple(c) for c in free if np.isfinite(d0[tuple(c)])]
+    if len(reach) < 2 * n:
+        return None
+    starts = reach[:n]
+    goals = reach[n:2 * n]
+    return occ, starts, goals
+
+
+def test_pibt_valid_and_deterministic():
+    for seed in range(5):
+        inst = _random_instance(seed)
+        if inst is None:
+            continue
+        occ, starts, goals = inst
+        p1 = pibt.solve_pibt(occ, starts, starts, goals, seed=0)
+        p2 = pibt.solve_pibt(occ, starts, starts, goals, seed=0)
+        assert p1 is not None
+        assert p1 == p2
+        _validate(p1, occ, goals)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native backend")
+def test_native_pibt_matches_python():
+    for seed in range(5):
+        inst = _random_instance(seed)
+        if inst is None:
+            continue
+        occ, starts, goals = inst
+        p_py = pibt.solve_pibt(occ, starts, starts, goals, seed=3)
+        p_cc = native.solve_pibt(occ, starts, starts, goals, seed=3)
+        assert p_py == p_cc
+
+
+def test_pibt_head_on_open_field():
+    """Two agents exchanging places on an open grid (PIBT handles this;
+    note plain PIBT — like the reference's — is incomplete for pure
+    corridor swaps, mapf-IR pibt.cpp)."""
+    occ = np.zeros((5, 5), dtype=bool)
+    starts = [(0, 2), (4, 2)]
+    goals = [(4, 2), (0, 2)]
+    paths = pibt.solve_pibt(occ, starts, starts, goals, seed=0)
+    assert paths is not None
+    _validate(paths, occ, goals)
+
+
+def test_ecbs_valid():
+    for seed in range(3):
+        inst = _random_instance(seed, n=4)
+        if inst is None:
+            continue
+        occ, starts, goals = inst
+        paths = ecbs.solve_ecbs(occ, starts, starts, goals)
+        assert paths is not None
+        n = len(paths)
+        L = max(len(p) for p in paths)
+
+        def at(i, t):
+            p = paths[i]
+            return p[t] if t < len(p) else p[-1]
+
+        for t in range(1, L):
+            seen = set()
+            for i in range(n):
+                v = at(i, t)
+                assert v not in seen
+                seen.add(v)
+        for i in range(n):
+            assert at(i, L - 1) == tuple(goals[i])
+
+
+def test_pibt_unreachable_returns_none():
+    occ = np.zeros((4, 4), dtype=bool)
+    occ[2, :] = True  # wall splits the grid
+    assert pibt.solve_pibt(occ, [(0, 0)], [(0, 0)], [(3, 3)], seed=0) is None
+
+
+def test_astar_and_bfs():
+    occ = np.zeros((6, 6), dtype=bool)
+    occ[3, 1:] = True
+    d = bfs_distances(occ, (5, 5))
+    assert np.isfinite(d[0, 0])
+    path = astar_path(occ, (0, 0), (5, 5))
+    assert path is not None
+    assert len(path) - 1 == d[0, 0]
+
+
+def test_coarse_grid_geometry():
+    cg = build_coarse_grid([-5, -5, 0], [5, 5, 2.5], 0.5, 2, 0.6)
+    assert cg.dims[0] == 21 and cg.dims[1] == 21 and cg.dims[2] == 1
+    node = cg.point_to_node([0.0, -1.0, 0.6])
+    np.testing.assert_array_equal(node[:2], [10, 8])
+    p = cg.node_to_point(np.array([10, 8, 0]))
+    np.testing.assert_allclose(p, [0.0, -1.0, 0.6])

@@ -1,0 +1,100 @@
+"""End-to-end simulator tests (small, fast configurations)."""
+
+import numpy as np
+import pytest
+
+from lsc_dr_planner_tpu.config import GoalMode, Param, PlannerMode
+from lsc_dr_planner_tpu.mission import Mission, generate_random_mission
+from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
+
+
+def _mini_mission(n=4, seed=3):
+    m = generate_random_mission(
+        n, [-3, -3, 0], [3, 3, 2.5], seed=seed, min_separation=1.2
+    )
+    return m
+
+
+def _param(**kw):
+    defaults = dict(
+        world_use_octomap=False,
+        multisim_max_planner_iteration=150,
+        qp_max_iter=150,
+    )
+    defaults.update(kw)
+    return Param(**defaults)
+
+
+def test_lsc_dr_mini_mission_completes(tmp_path):
+    m = _mini_mission()
+    p = _param()
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    res = sim.run()
+    assert not res["is_collided"]
+    assert res["safety_ratio_agent"] >= 1.0
+    assert np.isfinite(res["total_flight_time"])
+    assert res["vel_excess_ratio"] == 0.0
+    assert res["acc_excess_ratio"] == 0.0
+
+
+def test_lsc_static_goal_two_agents(tmp_path):
+    """Two agents crossing with the static goal mode (no DR)."""
+    m = generate_random_mission(2, [-3, -3, 0], [3, 3, 2.5], seed=1,
+                                min_separation=2.0)
+    # head-on crossing
+    m.agents[0].start = np.array([-2.0, 0.0, 0.6])
+    m.agents[0].goal = np.array([2.0, 0.0, 0.6])
+    m.agents[1].start = np.array([2.0, 0.01, 0.6])
+    m.agents[1].goal = np.array([-2.0, 0.01, 0.6])
+    p = _param(goal_mode=GoalMode.STATIC)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    res = sim.run()
+    assert not res["is_collided"]
+    assert res["safety_ratio_agent"] >= 1.0
+
+
+def test_bvc_mode_runs(tmp_path):
+    m = _mini_mission(n=3, seed=5)
+    p = _param(planner_mode=PlannerMode.BVC, goal_mode=GoalMode.STATIC)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    for it in range(10):
+        if it > 0:
+            sim.do_step()
+        sim.decentralized_mapp()
+        assert sim.plan()
+    assert not sim.is_collided
+
+
+def test_with_obstacle_world_and_csv(tmp_path):
+    """Mini forest-like world with saved CSV logs in reference schema."""
+    m = generate_random_mission(3, [-3, -3, 0], [3, 3, 2.5], seed=7,
+                                min_separation=1.5)
+    m.world_boxes = np.array([[0.0, 1.5, 1.25, 0.5, 0.5, 2.5]])
+    m.world_file_name = "mini.csv"
+    p = _param(world_use_octomap=True, multisim_save_result=True,
+               multisim_max_planner_iteration=120)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    res = sim.run()
+    assert not res["is_collided"]
+    assert res["safety_ratio_agent"] >= 1.0
+    # CSV outputs exist with the reference schemas
+    import glob, os
+
+    sims = glob.glob(str(tmp_path / "simulation_*.csv"))
+    summ = glob.glob(str(tmp_path / "summary_*.csv"))
+    assert sims and summ
+    header = open(sims[0]).readline()
+    assert header.startswith("id,t,px,py,pz,vx,vy,vz,ax,ay,az,planning_time")
+    sheader = open(summ[0]).readline()
+    assert sheader.startswith("start_time,total_flight_time,total_flight_distance")
+
+
+def test_patrol_mode_swaps_goals(tmp_path):
+    m = generate_random_mission(2, [-3, -3, 0], [3, 3, 2.5], seed=11,
+                                min_separation=2.5)
+    p = _param(multisim_patrol=True, multisim_max_planner_iteration=60)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    res = sim.run()
+    # patrol never "finishes"; it must keep flying safely
+    assert not res["is_collided"]
+    assert res["planner_seq"] >= 59
