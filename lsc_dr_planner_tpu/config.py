@@ -161,6 +161,10 @@ class Param:
     # Grid-based planner
     grid_resolution: float = 0.5
     grid_margin: float = 0.0
+    # max physical lag (in grid cells) between an agent and its waypoint
+    # before further waypoint updates are held back (liveness guard; not
+    # in the reference — see sim/simulator.py)
+    waypoint_body_lag: float = 2.0
 
     # Goal
     goal_threshold: float = 0.1

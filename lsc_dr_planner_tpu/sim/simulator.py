@@ -385,7 +385,7 @@ class MultiSyncSimulator:
                 # goal convergence only)
                 if (
                     np.linalg.norm(self.pos[i] - self.next_waypoint[i])
-                    > p.grid_resolution + 1e-6
+                    > p.waypoint_body_lag * p.grid_resolution + 1e-6
                 ):
                     ok = False
                 if (
