@@ -395,7 +395,10 @@ class FleetPlanner:
                 p.deadlock_velocity_threshold, p.deadlock_seq_threshold,
             )
             new_goal = goalmod.right_hand_goal(inp.pos, inp.desired_goal, dl)
-        else:  # STATIC (and host-computed modes pass goals via current_goal)
+        elif p.goal_mode in (GoalMode.PRIOR_BASED, GoalMode.DYNAMIC_PRIORITY):
+            # host-computed goals (planner/priority.py) arrive via current_goal
+            new_goal = inp.current_goal
+        else:  # STATIC
             new_goal = inp.desired_goal
 
         # disturbed agents hold position as goal (traj_planner.cpp:437-440)

@@ -474,6 +474,35 @@ class MultiSyncSimulator:
             dyn_r = dyn_dw = dyn_acc = np.zeros(0)
             dyn_valid = np.zeros(0, bool)
 
+        # priority-based goal mode: host-side goal computation
+        if p.goal_mode == GoalMode.PRIOR_BASED:
+            from lsc_dr_planner_tpu.planner.priority import prior_based_goal
+
+            s = self.s
+            prev_end = self.desired_ctrl[:, -1, -1]
+            dist_fn = (
+                (lambda q: float(self.world.distance_to_obstacle(
+                    jnp.asarray(q, jnp.float32))[0]))
+                if p.world_use_octomap and self.world.n_boxes
+                else None
+            )
+            new_goals = self.current_goal.copy()
+            for i in range(self.A):
+                nbrs = [
+                    j for j in range(self.A)
+                    if j != i and (
+                        p.communication_range <= 0
+                        or np.max(np.abs(self.pos[j] - self.pos[i]))
+                        < p.communication_range
+                    )
+                ]
+                new_goals[i] = prior_based_goal(
+                    i, self.pos, self.vel, self.desired_goal, prev_end,
+                    s["radius"], s["downwash"], nbrs, self.coarse,
+                    dist_fn, p,
+                )
+            self.current_goal = new_goals
+
         # disturbance: observed state must match own prediction start
         pred_start = self.prev_ctrl[:, 0, 0]
         disturbed = self.has_prev & (

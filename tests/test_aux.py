@@ -1,0 +1,82 @@
+"""Tests for auxiliary subsystems: Kalman filter, replayer, priority
+goals, timing stats."""
+
+import numpy as np
+import pytest
+
+from lsc_dr_planner_tpu.utils.kalman import LinearKalmanFilter, kf_init, kf_step
+from lsc_dr_planner_tpu.utils.timing import PlanningTime
+from lsc_dr_planner_tpu.sim import replay
+
+
+def test_kalman_tracks_constant_velocity():
+    rng = np.random.default_rng(0)
+    kf = LinearKalmanFilter(sigma_r=(0.01, 0.01, 0.01))
+    v_true = np.array([1.0, -0.5, 0.2])
+    for k in range(100):
+        t = 0.02 * k
+        z = v_true * t + rng.normal(0, 0.003, 3)
+        pos, vel = kf.observe(z, t)
+    np.testing.assert_allclose(vel, v_true, atol=0.1)
+    np.testing.assert_allclose(pos, v_true * t, atol=0.02)
+
+
+def test_kalman_batched():
+    st = kf_init(np.zeros((4, 3)))
+    st = kf_step(st, np.ones((4, 3)) * 0.1, 0.1)
+    assert st.x.shape == (4, 6)
+
+
+def test_planning_time_stats():
+    pt = PlanningTime()
+    for v in (1.0, 3.0, 2.0):
+        pt.update(v)
+    assert pt.min == 1.0 and pt.max == 3.0
+    assert pt.average == pytest.approx(2.0)
+    assert pt.N == 3
+
+
+def test_replay_roundtrip(tmp_path):
+    # write a 2-agent, 1-obstacle wide CSV in reference schema
+    path = tmp_path / "simulation_test.csv"
+    header = ",".join(
+        ["id,t,px,py,pz,vx,vy,vz,ax,ay,az,planning_time"] * 2
+        + ["obs_id,t,px,py,pz,size"]
+    )
+    rows = []
+    for k in range(5):
+        t = 0.1 * k
+        cols = []
+        for qi in range(2):
+            cols += [str(qi), f"{t}", f"{qi + t}", "0", "0.6",
+                     "1", "0", "0", "0", "0", "0", "0.01"]
+        cols += ["0", f"{t}", "3", "3", "0.6", "0.4"]
+        rows.append(",".join(cols))
+    path.write_text(header + "\n" + "\n".join(rows) + "\n")
+
+    log = replay.read_csv(str(path))
+    assert log.qn == 2 and log.on == 1
+    st = replay.state_at(log, 0.25)
+    np.testing.assert_allclose(st[0, 0], 0.25, atol=1e-9)  # agent 0 px
+    np.testing.assert_allclose(st[1, 0], 1.25, atol=1e-9)
+    frames = list(replay.replay(log, rate_hz=20))
+    assert len(frames) == 9
+    png = replay.render_png(log, str(tmp_path / "out.png"))
+    import os
+
+    assert os.path.getsize(png) > 0
+
+
+def test_prior_based_mode_runs(tmp_path):
+    from lsc_dr_planner_tpu.config import GoalMode, Param
+    from lsc_dr_planner_tpu.mission import generate_random_mission
+    from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
+
+    m = generate_random_mission(3, [-3, -3, 0], [3, 3, 2.5], seed=2,
+                                min_separation=1.5)
+    p = Param(world_use_octomap=False, goal_mode=GoalMode.PRIOR_BASED,
+              multisim_max_planner_iteration=40, qp_max_iter=120)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    res = sim.run()
+    assert not res["is_collided"]
+    assert res["safety_ratio_agent"] >= 1.0
