@@ -130,6 +130,10 @@ class MultiSyncSimulator:
         self.mapf_elapsed = np.zeros(self.A, dtype=int)
         self._mapf_plans = {}
         self._pos_history: List[np.ndarray] = []
+        self._dist_best = np.full(self.A, np.inf)
+        self._no_progress = np.zeros(self.A, dtype=int)
+        self._yield_agent = -1
+        self._yield_hold = 0
         self.planner_state = (
             PlannerState.PATROL if p.multisim_patrol else PlannerState.GOTO
         )
@@ -256,28 +260,51 @@ class MultiSyncSimulator:
         # re-sync the virtual waypoint state to the physical positions and
         # drop committed plans (anytime-recovery analog of the reference's
         # disturbance reset, traj_planner.cpp:312-319)
-        # stalled = net displacement over the last WINDOW steps below
-        # threshold (per-step deltas are noisy: agents pressed against
-        # constraints micro-wiggle)
-        WINDOW, THRESH = 15, 0.05
+        # Two stall detectors:
+        #  (a) displacement: net motion below threshold over a short
+        #      window → global re-sync of the stalled agents' waypoints
+        #      to their physical positions (fixes virtual/physical
+        #      divergence knots)
+        #  (b) progress: no reduction of distance-to-goal over a LONG
+        #      window (catches churning limit cycles that keep moving) →
+        #      same re-sync plus a yield escalation: one knot member
+        #      steps to a physical escape cell
+        WINDOW_D, THRESH_D = 15, 0.05
+        WINDOW_P, IMPROVE = 75, 0.05
+        d = np.linalg.norm(self.pos - self.desired_goal, axis=-1)
+        at_goal = d < p.goal_threshold
+
         self._pos_history.append(self.pos.copy())
-        if len(self._pos_history) > WINDOW + 1:
+        if len(self._pos_history) > WINDOW_D + 1:
             self._pos_history.pop(0)
-        if len(self._pos_history) > WINDOW:
+        stalled_d = np.zeros(self.A, dtype=bool)
+        if len(self._pos_history) > WINDOW_D:
             net = np.linalg.norm(self.pos - self._pos_history[0], axis=-1)
-            at_goal = (
-                np.linalg.norm(self.pos - self.desired_goal, axis=-1)
-                < p.goal_threshold
-            )
-            stalled = (net < THRESH) & ~at_goal
-            if stalled.any():
-                self._mapf_plans.clear()
-                self._pos_history.clear()
-                for i in np.nonzero(stalled)[0]:
-                    self.next_waypoint[i] = self.pos[i].copy()
+            stalled_d = (net < THRESH_D) & ~at_goal
+
+        rebase = d > self._dist_best + 1.0
+        self._dist_best = np.where(rebase, d, self._dist_best)
+        improved = d < self._dist_best - IMPROVE
+        self._dist_best = np.minimum(self._dist_best, d)
+        self._no_progress = np.where(improved, 0, self._no_progress + 1)
+        stalled_p = (self._no_progress >= WINDOW_P) & ~at_goal
+
+        if stalled_d.any() or stalled_p.any():
+            ids = np.nonzero(stalled_d | stalled_p)[0]
+            self._mapf_plans.clear()
+            self._pos_history.clear()
+            for i in ids:
+                self.next_waypoint[i] = self.pos[i].copy()
+            if stalled_p.any():
+                pids = np.nonzero(stalled_p)[0]
+                self._no_progress[pids] = 0
+                self._dist_best[pids] = d[pids]
+                self._yield_escape(pids)
 
         occ2d = self.coarse.occ2d().copy()
         seen_sigs = set()
+        if self._yield_hold > 0:
+            self._yield_hold -= 1
         for group in self._groups():
             timer = Timer()
             cells_start = [tuple(self.coarse.point_to_node(self.start_point[i])[:2])
@@ -368,7 +395,7 @@ class MultiSyncSimulator:
             update_cand = set()
             for gi, i in enumerate(group):
                 wp = desired_wp[i]
-                ok = True
+                ok = not (i == self._yield_agent and self._yield_hold > 0)
                 if p.communication_range > 0:
                     pts = [self.desired_ctrl[i, m, 0] for m in range(p.M)]
                     pts.append(self.desired_ctrl[i, -1, -1])
@@ -433,6 +460,47 @@ class MultiSyncSimulator:
         self._mapf_plans = {
             s: v for s, v in self._mapf_plans.items() if s in seen_sigs
         }
+
+    # ==================================================================
+    def _yield_escape(self, stalled_ids):
+        """Symmetry breaking for persistent knots: the stalled agent with
+        the most free adjacent cells steps to an escape cell away from
+        the others; its waypoint updates are held briefly so the rest of
+        the knot can pass. (Not in the reference — its fresh-PIBT-per-
+        step relies on trajectory noise to break such ties.)"""
+        occ = self.coarse.occ2d()
+        X, Y = occ.shape
+        cells = {i: tuple(self.coarse.point_to_node(self.pos[i])[:2])
+                 for i in stalled_ids}
+        best = (-1, None, -1)  # (n_free, escape_cell, agent)
+        others = {i: [self.pos[j] for j in stalled_ids if j != i]
+                  for i in stalled_ids}
+        for i in stalled_ids:
+            cx, cy = cells[i]
+            frees = []
+            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                nx, ny = cx + dx, cy + dy
+                if not (0 <= nx < X and 0 <= ny < Y) or occ[nx, ny]:
+                    continue
+                if (nx, ny) in cells.values():
+                    continue
+                pt = self.coarse.node_to_point(np.array([nx, ny, 0]))
+                mind = min(
+                    (np.linalg.norm(pt - q) for q in others[i]),
+                    default=np.inf,
+                )
+                frees.append((mind, (nx, ny)))
+            if frees:
+                frees.sort(reverse=True)
+                if len(frees) > best[0]:
+                    best = (len(frees), frees[0][1], i)
+        if best[2] >= 0:
+            i = best[2]
+            self.next_waypoint[i] = self.coarse.node_to_point(
+                np.array([best[1][0], best[1][1], 0])
+            )
+            self._yield_agent = i
+            self._yield_hold = 10
 
     # ==================================================================
     def plan(self) -> bool:
