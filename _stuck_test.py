@@ -5,11 +5,11 @@ import numpy as np
 import lsc_dr_planner_tpu as lp
 from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
 
-for idx in (2, 7, 9):
+for idx in (1, 2, 7, 9, 10, 25, 26):
     m = lp.Mission.load(f"/root/reference/missions/forest10/forest10_{idx}.json",
                         world_file=f"/root/reference/world/forest/forest{idx}.csv",
                         world_dimension=2, world_z_2d=0.6)
-    p = lp.Param(multisim_max_planner_iteration=400)
+    p = lp.Param(multisim_max_planner_iteration=400, grid_margin=0.1)
     sim = MultiSyncSimulator(p, m, log_dir="/tmp/simlog4")
     res = sim.run()
     print(f"forest10_{idx}: t={res['total_flight_time']:.1f} safety={res['safety_ratio_agent']:.3f} "

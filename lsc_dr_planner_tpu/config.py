@@ -158,9 +158,12 @@ class Param:
     orca_inflation_ratio: float = 1.5
     orca_pref_velocity_ratio: float = 1.0
 
-    # Grid-based planner
+    # Grid-based planner. grid_margin follows the reference's param.cpp
+    # default (0.1; the benchmark launch file sets 0.0) — blocking
+    # near-wall cells in the MAPF layer meters agents away from
+    # cul-de-sac pockets and resolves most corridor knots.
     grid_resolution: float = 0.5
-    grid_margin: float = 0.0
+    grid_margin: float = 0.1
     # max physical lag (in grid cells) between an agent and its waypoint
     # before further waypoint updates are held back (liveness guard; not
     # in the reference — see sim/simulator.py)
