@@ -504,8 +504,22 @@ class MultiSyncSimulator:
 
     # ==================================================================
     def plan(self) -> bool:
-        p = self.param
         timer = Timer()
+        inp = self._build_step_inputs()
+        out = self.planner.step(self.fleet, inp)
+        out.desired_ctrl.block_until_ready()
+        self._apply_step_outputs(out)
+        elapsed = timer.stop()
+        # per-agent statistics parity: the batched solve serves all agents
+        # at once; record the whole-step wall time as the per-step planning
+        # time (the reference records per-agent times and averages).
+        self.planning_time.total_planning_time.update(elapsed)
+        self.planning_time.traj_optimization_time.update(elapsed)
+        return True
+
+    # ==================================================================
+    def _build_step_inputs(self) -> StepInputs:
+        p = self.param
         self.planner_seq += 1
 
         # planning-state transition (agent_manager.cpp:225-240)
@@ -599,9 +613,10 @@ class MultiSyncSimulator:
             dynobs_max_acc=jnp.asarray(dyn_acc, f32),
             dynobs_valid=jnp.asarray(dyn_valid),
         )
-        out = self.planner.step(self.fleet, inp)
-        out.desired_ctrl.block_until_ready()
+        return inp
 
+    # ==================================================================
+    def _apply_step_outputs(self, out) -> None:
         self.desired_ctrl = np.asarray(out.desired_ctrl, np.float64)
         self.prev_ctrl = self.desired_ctrl.copy()
         self.current_goal = np.asarray(out.current_goal, np.float64)
@@ -610,14 +625,6 @@ class MultiSyncSimulator:
         self.sfc_initialized = np.asarray(out.sfc_initialized)
         self.has_prev[:] = True
         self.qp_converged = np.asarray(out.qp_converged)
-
-        elapsed = timer.stop()
-        # per-agent statistics parity: the batched solve serves all agents
-        # at once; record the whole-step wall time as the per-step planning
-        # time (the reference records per-agent times and averages).
-        self.planning_time.total_planning_time.update(elapsed)
-        self.planning_time.traj_optimization_time.update(elapsed)
-        return True
 
     # ==================================================================
     def save_simulation_result(self):
