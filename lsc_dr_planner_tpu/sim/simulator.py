@@ -388,8 +388,12 @@ class MultiSyncSimulator:
             for gi, i in enumerate(group):
                 path = paths[gi]
                 cell = path[min(1, len(path) - 1)]
-                desired_wp[i] = self.coarse.node_to_point(
-                    np.array([cell[0], cell[1], 0]))
+                wpp = self.coarse.node_to_point(np.array([cell[0], cell[1], 0]))
+                if p.world_dimension == 3:
+                    # the MAPF layer is planar (the reference collapses z,
+                    # problem.cpp:148-201); fly it at the goal altitude
+                    wpp[2] = self.desired_goal[i][2]
+                desired_wp[i] = wpp
 
             # communication-range reachability check (:217-252)
             update_cand = set()
@@ -448,12 +452,24 @@ class MultiSyncSimulator:
                 self.next_waypoint[i] = desired_wp[i]
 
             # persistent PIBT priority: agents whose waypoint is not yet at
-            # their goal cell accumulate priority across steps
+            # their goal cell accumulate priority across steps. Once the
+            # waypoint reaches the goal CELL, snap it to the exact goal
+            # POINT (carries the altitude in 3-D and off-grid goals).
             for gi, i in enumerate(group):
                 at_goal = (
                     tuple(self.coarse.point_to_node(self.next_waypoint[i])[:2])
                     == cells_goal[gi]
                 )
+                if at_goal:
+                    # walk the waypoint toward the exact goal point one
+                    # grid step at a time (bridges altitude in 3-D and
+                    # off-grid goals without violating the comm-range
+                    # waypoint bound)
+                    delta = np.clip(
+                        self.desired_goal[i] - self.next_waypoint[i],
+                        -p.grid_resolution, p.grid_resolution,
+                    )
+                    self.next_waypoint[i] = self.next_waypoint[i] + delta
                 self.mapf_elapsed[i] = 0 if at_goal else self.mapf_elapsed[i] + 1
 
         # prune plans for groups that no longer exist

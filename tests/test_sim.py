@@ -98,3 +98,21 @@ def test_patrol_mode_swaps_goals(tmp_path):
     # patrol never "finishes"; it must keep flying safely
     assert not res["is_collided"]
     assert res["planner_seq"] >= 59
+
+
+def test_3d_vertical_crossing_with_downwash(tmp_path):
+    """3-D mode: a vertical crossing pair must pass safely under the
+    ellipsoidal downwash model; planar agents reach goals."""
+    m = generate_random_mission(4, [-3, -3, 0], [3, 3, 3.0], seed=9,
+                                min_separation=1.5, z=1.5)
+    m.agents[0].start = np.array([0.0, 0.0, 0.5])
+    m.agents[0].goal = np.array([0.0, 0.0, 2.5])
+    m.agents[1].start = np.array([0.3, 0.0, 2.5])
+    m.agents[1].goal = np.array([0.3, 0.0, 0.5])
+    p = _param(world_dimension=3, multisim_max_planner_iteration=120,
+               qp_max_iter=150)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    res = sim.run()
+    assert not res["is_collided"]
+    assert res["safety_ratio_agent"] >= 1.0
+    assert np.isfinite(res["total_flight_time"])
