@@ -484,39 +484,56 @@ class MultiSyncSimulator:
         the others; its waypoint updates are held briefly so the rest of
         the knot can pass. (Not in the reference — its fresh-PIBT-per-
         step relies on trajectory noise to break such ties.)"""
+        from collections import deque
+
         occ = self.coarse.occ2d()
         X, Y = occ.shape
-        cells = {i: tuple(self.coarse.point_to_node(self.pos[i])[:2])
-                 for i in stalled_ids}
-        best = (-1, None, -1)  # (n_free, escape_cell, agent)
-        others = {i: [self.pos[j] for j in stalled_ids if j != i]
-                  for i in stalled_ids}
+        # all agent cells (not just stalled) are blocked for the escape
+        all_cells = {
+            tuple(self.coarse.point_to_node(self.pos[j])[:2])
+            for j in range(self.A)
+        }
+        centroid = np.mean([self.pos[i] for i in stalled_ids], axis=0)
+
+        best = (-1.0, None, -1)  # (escape distance gain, cell, agent)
         for i in stalled_ids:
-            cx, cy = cells[i]
-            frees = []
-            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                nx, ny = cx + dx, cy + dy
-                if not (0 <= nx < X and 0 <= ny < Y) or occ[nx, ny]:
+            start = tuple(self.coarse.point_to_node(self.pos[i])[:2])
+            # BFS up to 3 cells over free, unoccupied cells; pick the cell
+            # farthest from the knot centroid — EVACUATE the pocket, don't
+            # shuffle inside it
+            seen = {start: 0}
+            dq = deque([start])
+            cand = None
+            cand_d = -1.0
+            while dq:
+                c = dq.popleft()
+                if seen[c] >= 3:
                     continue
-                if (nx, ny) in cells.values():
-                    continue
-                pt = self.coarse.node_to_point(np.array([nx, ny, 0]))
-                mind = min(
-                    (np.linalg.norm(pt - q) for q in others[i]),
-                    default=np.inf,
-                )
-                frees.append((mind, (nx, ny)))
-            if frees:
-                frees.sort(reverse=True)
-                if len(frees) > best[0]:
-                    best = (len(frees), frees[0][1], i)
+                for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                    nxt = (c[0] + dx, c[1] + dy)
+                    if nxt in seen:
+                        continue
+                    if not (0 <= nxt[0] < X and 0 <= nxt[1] < Y) or occ[nxt]:
+                        continue
+                    if nxt in all_cells:
+                        continue
+                    seen[nxt] = seen[c] + 1
+                    dq.append(nxt)
+                    pt = self.coarse.node_to_point(np.array([nxt[0], nxt[1], 0]))
+                    dcen = float(np.linalg.norm(pt[:2] - centroid[:2]))
+                    if dcen > cand_d:
+                        cand_d, cand = dcen, nxt
+            if cand is not None and cand_d > best[0]:
+                best = (cand_d, cand, i)
+
         if best[2] >= 0:
             i = best[2]
-            self.next_waypoint[i] = self.coarse.node_to_point(
-                np.array([best[1][0], best[1][1], 0])
-            )
+            wpp = self.coarse.node_to_point(np.array([best[1][0], best[1][1], 0]))
+            if self.param.world_dimension == 3:
+                wpp[2] = self.pos[i][2]
+            self.next_waypoint[i] = wpp
             self._yield_agent = i
-            self._yield_hold = 10
+            self._yield_hold = 15
 
     # ==================================================================
     def plan(self) -> bool:
