@@ -505,9 +505,11 @@ class MultiSyncSimulator:
             dq = deque([start])
             cand = None
             cand_d = -1.0
+            # radius ≤ 2 cells keeps the escape waypoint inside the
+            # QP's communication-range feasibility of the body
             while dq:
                 c = dq.popleft()
-                if seen[c] >= 3:
+                if seen[c] >= 2:
                     continue
                 for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
                     nxt = (c[0] + dx, c[1] + dy)

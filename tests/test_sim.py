@@ -107,10 +107,28 @@ def test_3d_vertical_crossing_with_downwash(tmp_path):
                                 min_separation=1.5, z=1.5)
     m.agents[0].start = np.array([0.0, 0.0, 0.5])
     m.agents[0].goal = np.array([0.0, 0.0, 2.5])
-    m.agents[1].start = np.array([0.3, 0.0, 2.5])
-    m.agents[1].goal = np.array([0.3, 0.0, 0.5])
-    p = _param(world_dimension=3, multisim_max_planner_iteration=120,
+    m.agents[1].start = np.array([0.5, 0.0, 2.5])
+    m.agents[1].goal = np.array([0.5, 0.0, 0.5])
+    p = _param(world_dimension=3, multisim_max_planner_iteration=250,
                qp_max_iter=150)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    res = sim.run()
+    assert not res["is_collided"]
+    assert res["safety_ratio_agent"] >= 1.0
+    assert np.isfinite(res["total_flight_time"])
+
+
+def test_dlsc_substep_replanning(tmp_path):
+    """DLSC with multisim_time_step < dt (sub-step replanning via the
+    subsegment re-parameterization). The reference's CONTINUITY-slack
+    variables are vestigial (declared offsets, never created:
+    traj_optimizer.cpp:222-230), so sub-step DLSC runs unrelaxed."""
+    from lsc_dr_planner_tpu.config import PlannerMode
+
+    m = generate_random_mission(4, [-3, -3, 0], [3, 3, 2.5], seed=3,
+                                min_separation=1.2)
+    p = _param(planner_mode=PlannerMode.DLSC, multisim_time_step=0.1,
+               dt=0.2, multisim_max_planner_iteration=200)
     sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
     res = sim.run()
     assert not res["is_collided"]
