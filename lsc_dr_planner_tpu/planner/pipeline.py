@@ -121,6 +121,7 @@ class FleetPlanner:
             eps_abs=p.qp_eps_abs,
         )
         self._step = jax.jit(self._step_impl)
+        self._prefix_steps = {}  # stop_after -> jitted prefix fn
         self.debug = False  # eager mode: stash intermediates on self._dbg
         self._dbg = {}
 
@@ -129,6 +130,44 @@ class FleetPlanner:
         if self.debug:
             return self._step_impl(fleet, inp)
         return self._step(fleet, inp)
+
+    # ==================================================================
+    def measure_stage_times(self, fleet: FleetArrays, inp: StepInputs,
+                            repeats: int = 3):
+        """Per-stage wall times by compiled prefix differences. Returns a
+        dict of stage name → seconds (parity with the reference's 8-stage
+        statistics, sp_const.hpp:108-128)."""
+        import time as _time
+
+        names = {1: "obstacle_prediction", 2: "initial_traj", 3: "lsc",
+                 4: "sfc", 5: "goal", 0: "total"}
+        prefix_t = {}
+        for k in (1, 2, 3, 4, 5, 0):
+            if k not in self._prefix_steps:
+                self._prefix_steps[k] = jax.jit(
+                    functools.partial(self._step_impl, stop_after=k)
+                )
+            fn = self._prefix_steps[k]
+            out = fn(fleet, inp)  # warm-up/compile
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                out)
+            t0 = _time.perf_counter()
+            for _ in range(repeats):
+                out = fn(fleet, inp)
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                out)
+            prefix_t[k] = (_time.perf_counter() - t0) / repeats
+
+        stages = {}
+        prev = 0.0
+        for k in (1, 2, 3, 4, 5):
+            stages[names[k]] = max(prefix_t[k] - prev, 0.0)
+            prev = prefix_t[k]
+        stages["traj_opt"] = max(prefix_t[0] - prev, 0.0)
+        stages["total"] = prefix_t[0]
+        return stages
 
     # ==================================================================
     def _neighbor_slots(self, inp: StepInputs, fleet: FleetArrays):
@@ -158,7 +197,10 @@ class FleetPlanner:
         return order, valid, gather
 
     # ==================================================================
-    def _step_impl(self, fleet: FleetArrays, inp: StepInputs) -> StepOutputs:
+    def _step_impl(self, fleet: FleetArrays, inp: StepInputs,
+                   stop_after: int = 0) -> StepOutputs:
+        # stop_after > 0: return a checksum after pipeline stage k — used
+        # by measure_stage_times() for prefix-difference stage timing
         p = self.param
         A, O, OA, OD = self.A, self.O, self.O_agents, self.OD
         M, n, N, phi = p.M, p.n, p.n + 1, p.phi
@@ -289,6 +331,9 @@ class FleetPlanner:
         else:
             obs_pred_sizes = size_base
 
+        if stop_after == 1:
+            return jnp.sum(obs_pred) + jnp.sum(obs_pred_sizes)
+
         # ---------- stage 2: initial trajectory ---------------------------
         if p.planner_mode in (PlannerMode.DLSC, PlannerMode.LSC):
             if p.multisim_time_step == p.dt:
@@ -314,6 +359,9 @@ class FleetPlanner:
         initial_ctrl = jnp.where(
             inp.is_disturbed[..., None, None, None], hold_self, initial_ctrl
         )
+
+        if stop_after == 2:
+            return jnp.sum(initial_ctrl)
 
         # ---------- stage 3: LSC construction -----------------------------
         if p.planner_mode in (PlannerMode.DLSC, PlannerMode.LSC):
@@ -346,6 +394,9 @@ class FleetPlanner:
                 obs_is_agent, obs_valid,
             )
 
+        if stop_after == 3:
+            return jnp.sum(ls.normals) + jnp.sum(ls.margins)
+
         # ---------- stage 4: SFC construction -----------------------------
         gw = self.world
         if p.world_use_octomap:
@@ -377,6 +428,9 @@ class FleetPlanner:
             sfc_lo_w = jnp.full((A, M, 3), -big, f32)
             sfc_hi_w = jnp.full((A, M, 3), big, f32)
 
+        if stop_after == 4:
+            return jnp.sum(sfc_lo_w) + jnp.sum(sfc_hi_w)
+
         # ---------- stage 5: goal planning --------------------------------
         dim = p.world_dimension
         if p.goal_mode == GoalMode.GRID_BASED_PLANNER:
@@ -405,6 +459,9 @@ class FleetPlanner:
         new_goal = jnp.where(
             inp.is_disturbed[..., None], inp.pos, new_goal
         )
+
+        if stop_after == 5:
+            return jnp.sum(new_goal)
 
         # ---------- stage 6: trajectory optimization ----------------------
         # terminal segments from the nominal-velocity flight-time heuristic

@@ -549,7 +549,18 @@ class MultiSyncSimulator:
         # at once; record the whole-step wall time as the per-step planning
         # time (the reference records per-agent times and averages).
         self.planning_time.total_planning_time.update(elapsed)
-        self.planning_time.traj_optimization_time.update(elapsed)
+
+        # periodic per-stage sampling by compiled-prefix differences
+        # (the fused jit has no internal timers)
+        if self.planner_seq == 2 or self.planner_seq % 25 == 0:
+            st = self.planner.measure_stage_times(self.fleet, inp, repeats=1)
+            pt = self.planning_time
+            pt.obstacle_prediction_time.update(st["obstacle_prediction"])
+            pt.initial_traj_planning_time.update(st["initial_traj"])
+            pt.lsc_generation_time.update(st["lsc"])
+            pt.sfc_generation_time.update(st["sfc"])
+            pt.goal_planning_time.update(st["goal"])
+            pt.traj_optimization_time.update(st["traj_opt"])
         return True
 
     # ==================================================================
