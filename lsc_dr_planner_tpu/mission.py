@@ -169,10 +169,12 @@ class Mission:
                     rows.append([float(x) for x in line.split(",")][:6])
             self.world_boxes = np.asarray(rows, dtype=np.float64).reshape(-1, 6)
         elif world_file.endswith(".bt"):
-            raise NotImplementedError(
-                "binary octomap worlds are not supported; convert to a CSV "
-                "box list (all shipped benchmark worlds are CSV)"
-            )
+            # binary octomap world (reference: octree_ptr->readBinary,
+            # src/map_manager.cpp:68-72); every occupied leaf becomes one
+            # axis-aligned box
+            from lsc_dr_planner_tpu.world.octomap import read_bt
+
+            self.world_boxes, _ = read_bt(world_file)
         else:
             raise ValueError(f"unknown world file type: {world_file}")
 

@@ -46,6 +46,8 @@ def shard_step_inputs(mesh: Mesh, fleet: FleetArrays, inp: StepInputs,
     """Place fleet/step arrays with the agent axis sharded over the mesh."""
 
     def place(named, value):
+        if value is None:  # optional leaves (occ_known in global-map mode)
+            return None
         spec = _spec_for(named, value.ndim, axis)
         return jax.device_put(value, NamedSharding(mesh, spec))
 

@@ -70,6 +70,9 @@ class StepInputs(NamedTuple):
     dynobs_downwash: jnp.ndarray  # [OD]
     dynobs_max_acc: jnp.ndarray  # [OD]
     dynobs_valid: jnp.ndarray  # [OD] bool
+    # per-agent known occupancy [A, X, Y, Z] (local-sensing mode only;
+    # None when world_use_global_map — the static world is jit-closed)
+    occ_known: Optional[jnp.ndarray] = None
 
 
 class StepOutputs(NamedTuple):
@@ -400,25 +403,44 @@ class FleetPlanner:
         # ---------- stage 4: SFC construction -----------------------------
         gw = self.world
         if p.world_use_octomap:
-            def update_sfc(args):
+            def update_sfc(args, occ_a=None):
                 slo, shi, init_done, last_pt, cgoal, wpt, pos = args
+                if occ_a is None:
+                    gw_a = gw
+                else:
+                    # local-sensing mode: per-agent EDT analog rebuilt on
+                    # device from the agent's known occupancy (reference
+                    # distmap_ptr->update(), map_manager.cpp:118-119)
+                    from lsc_dr_planner_tpu.world.grid import (
+                        blocked_cumsum_jnp, local_grid_world,
+                    )
+                    blk, S = blocked_cumsum_jnp(
+                        occ_a, gw.resolution, gw.radius
+                    )
+                    gw_a = local_grid_world(gw, occ_a, blk, S)
                 # first iteration / disturbed: initialize from position
-                ilo, ihi, _ = sfc.initialize_sfc(gw, pos, M)
+                ilo, ihi, _ = sfc.initialize_sfc(gw_a, pos, M)
                 if p.goal_mode == GoalMode.GRID_BASED_PLANNER:
                     hull = jnp.stack([last_pt, cgoal], axis=0)
-                    ulo, uhi, _ = sfc.construct_sfc_from_hull(gw, slo, shi, hull, wpt)
+                    ulo, uhi, _ = sfc.construct_sfc_from_hull(gw_a, slo, shi, hull, wpt)
                 else:
-                    ulo, uhi, _ = sfc.construct_sfc_from_point(gw, slo, shi, last_pt, cgoal)
+                    ulo, uhi, _ = sfc.construct_sfc_from_point(gw_a, slo, shi, last_pt, cgoal)
                 lo = jnp.where(init_done, ulo, ilo)
                 hi = jnp.where(init_done, uhi, ihi)
                 return lo, hi
 
-            new_sfc_lo, new_sfc_hi = jax.vmap(update_sfc)((
+            sfc_args = (
                 inp.sfc_lo, inp.sfc_hi,
                 inp.sfc_initialized & jnp.logical_not(inp.is_disturbed),
                 trajectory.last_point(initial_ctrl),
                 inp.current_goal, inp.next_waypoint, inp.pos,
-            ))
+            )
+            if inp.occ_known is None:
+                new_sfc_lo, new_sfc_hi = jax.vmap(update_sfc)(sfc_args)
+            else:
+                new_sfc_lo, new_sfc_hi = jax.vmap(update_sfc)(
+                    sfc_args, inp.occ_known
+                )
             sfc_lo_w, sfc_hi_w = sfc.sfc_to_world(
                 gw, new_sfc_lo, new_sfc_hi, self.sfc_margin
             )

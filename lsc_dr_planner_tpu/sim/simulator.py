@@ -83,10 +83,31 @@ class MultiSyncSimulator:
             cp = np.clip(points, lo, hi)
             return np.max(np.abs(cp - points), axis=-1)
 
+        # local-sensing mode (world_use_global_map=False): per-agent
+        # known-occupancy maps, revealed by simulated sensing and shared
+        # by in-range map merging (reference: map_manager.cpp:111-144,
+        # 231-260; driven at agent_manager.cpp:46-48 and
+        # multi_sync_simulator.cpp:335-337)
+        self.local_maps = p.world_use_octomap and not p.world_use_global_map
+        if self.local_maps:
+            from lsc_dr_planner_tpu.world.map_manager import MapManager
+
+            self.map_manager = MapManager(
+                mission.world_boxes, mission.world_min, mission.world_max,
+                p.world_resolution, self.A, use_global_map=False,
+            )
+        else:
+            self.map_manager = None
+        self._coarse_version = -1
+
         self.coarse = build_coarse_grid(
             mission.world_min, mission.world_max, p.grid_resolution,
             p.world_dimension, p.world_z_2d,
-            distance_fn=linf_distance if p.world_use_octomap else None,
+            distance_fn=(
+                linf_distance
+                if p.world_use_octomap and not self.local_maps
+                else None
+            ),
             agent_radius=float(s["radius"][0]) + p.grid_margin,
         )
 
@@ -159,6 +180,9 @@ class MultiSyncSimulator:
         )
         self._sim_csv_rows: List[str] = []
 
+        if self.local_maps:
+            self.map_manager.sense(self.pos, p.sensor_range)
+
     # ==================================================================
     def run(self, max_iterations: Optional[int] = None, verbose: bool = False):
         p = self.param
@@ -213,6 +237,9 @@ class MultiSyncSimulator:
         if p.world_dimension == 2:
             self.pos[:, 2] = p.world_z_2d
         self.sim_time += p.multisim_time_step
+        # simulated local sensing (agent_manager.cpp:46-48)
+        if self.local_maps:
+            self.map_manager.sense(self.pos, p.sensor_range)
 
     # ==================================================================
     def _groups(self) -> List[List[int]]:
@@ -255,6 +282,13 @@ class MultiSyncSimulator:
         p = self.param
         if p.goal_mode != GoalMode.GRID_BASED_PLANNER:
             return
+
+        # local-sensing mode: the MAPF grid reflects only DISCOVERED
+        # obstacles (reference: GridBasedPlanner occupancy comes from the
+        # agent's own distmap, grid_based_planner.cpp:102-139; after
+        # in-range merging the group members' maps coincide)
+        if self.local_maps and self.map_manager.version() != self._coarse_version:
+            self._rebuild_coarse_from_known()
 
         # stall recovery: if the fleet hasn't physically moved for a while,
         # re-sync the virtual waypoint state to the physical positions and
@@ -478,6 +512,42 @@ class MultiSyncSimulator:
         }
 
     # ==================================================================
+    def _rebuild_coarse_from_known(self):
+        """Rebuild the coarse MAPF grid from the union of the fleet's
+        discovered occupancy. Cached MAPF plans are dropped (planned on
+        a stale grid)."""
+        p = self.param
+        mm = self.map_manager
+        occ = mm.union_occ()
+        idx = np.argwhere(occ)
+        res = p.world_resolution
+        centers = (idx + self.world.origin_idx + 0.5) * res
+
+        if len(centers) == 0:
+            fn = None
+        else:
+            def fn(points):
+                # L∞ distance to the Euclidean-nearest occupied cell's
+                # box (same approximation as the global-map path)
+                out = np.empty(len(points))
+                for i0 in range(0, len(points), 512):
+                    pb = points[i0 : i0 + 512]
+                    d = np.linalg.norm(pb[:, None] - centers[None], axis=-1)
+                    c = centers[np.argmin(d, axis=1)]
+                    cp = np.clip(pb, c - 0.5 * res, c + 0.5 * res)
+                    out[i0 : i0 + 512] = np.max(np.abs(cp - pb), axis=-1)
+                return out
+
+        self.coarse = build_coarse_grid(
+            self.mission.world_min, self.mission.world_max,
+            p.grid_resolution, p.world_dimension, p.world_z_2d,
+            distance_fn=fn,
+            agent_radius=float(self.s["radius"][0]) + p.grid_margin,
+        )
+        self._coarse_version = mm.version()
+        self._mapf_plans.clear()
+
+    # ==================================================================
     def _yield_escape(self, stalled_ids):
         """Symmetry breaking for persistent knots: the stalled agent with
         the most free adjacent cells steps to an escape cell away from
@@ -540,6 +610,10 @@ class MultiSyncSimulator:
     # ==================================================================
     def plan(self) -> bool:
         timer = Timer()
+        # peer map merging within communication range, once per step
+        # (multi_sync_simulator.cpp:335-337 in broadcastMsgs)
+        if self.local_maps:
+            self.map_manager.merge(self.pos, self.param.communication_range)
         inp = self._build_step_inputs()
         out = self.planner.step(self.fleet, inp)
         out.desired_ctrl.block_until_ready()
@@ -658,6 +732,10 @@ class MultiSyncSimulator:
             dynobs_downwash=jnp.asarray(dyn_dw, f32),
             dynobs_max_acc=jnp.asarray(dyn_acc, f32),
             dynobs_valid=jnp.asarray(dyn_valid),
+            occ_known=(
+                jnp.asarray(self.map_manager.known)
+                if self.local_maps else None
+            ),
         )
         return inp
 

@@ -144,26 +144,91 @@ class GridWorld:
 
 
 # ----------------------------------------------------------------------
+# Device-side blocked-lattice + integral-image build (for per-agent
+# local maps that change every step — see world/map_manager.py)
+# ----------------------------------------------------------------------
+
+
+def dilation_offsets(resolution: float, radius: float) -> Tuple[int, int]:
+    """Cell-to-lattice dilation offset range (see _blocked_lattice_mask):
+    lattice point j is blocked iff an occupied cell i = j + d exists with
+    d ∈ [d_lo, d_hi]."""
+    r = radius / resolution
+    eps = 1e-6
+    return int(np.ceil(-r - 1 + eps)), int(np.floor(r - eps))
+
+
+def blocked_cumsum_jnp(occ: jnp.ndarray, resolution: float, radius: float):
+    """Jit-compatible version of `_blocked_lattice_mask` + integral image.
+
+    `occ`: [..., X, Y, Z] bool (leading batch axes allowed — per-agent
+    local maps batch over the fleet). Returns (blocked [..., X+1, Y+1,
+    Z+1] bool, cumsum [..., X+2, Y+2, Z+2] int32). Matches the host
+    numpy build bit-for-bit (asserted in tests/test_map.py)."""
+    d_lo, d_hi = dilation_offsets(resolution, radius)
+    cur = occ
+    nb = occ.ndim - 3
+    for axis3 in range(3):
+        axis = nb + axis3
+        n_in = cur.shape[axis]
+        n_out = n_in + 1
+        shp = list(cur.shape)
+        shp[axis] = n_out
+        nxt = jnp.zeros(shp, dtype=bool)
+        for d in range(d_lo, d_hi + 1):
+            src_lo = max(0, d)
+            src_hi = min(n_in, n_out + d)
+            if src_hi <= src_lo:
+                continue
+            sl_src = [slice(None)] * cur.ndim
+            sl_dst = [slice(None)] * cur.ndim
+            sl_src[axis] = slice(src_lo, src_hi)
+            sl_dst[axis] = slice(src_lo - d, src_hi - d)
+            nxt = nxt.at[tuple(sl_dst)].set(
+                nxt[tuple(sl_dst)] | cur[tuple(sl_src)]
+            )
+        cur = nxt
+    blocked = cur
+    S = blocked.astype(jnp.int32)
+    for axis3 in range(3):
+        S = jnp.cumsum(S, axis=nb + axis3)
+    pad = [(0, 0)] * nb + [(1, 0)] * 3
+    S = jnp.pad(S, pad)
+    return blocked, S
+
+
+def local_grid_world(base: "GridWorld", occ: jnp.ndarray,
+                     blocked: jnp.ndarray, cumsum: jnp.ndarray) -> "GridWorld":
+    """A GridWorld view over a (possibly traced) occupancy variant of
+    `base` — used inside the jitted pipeline for per-agent local maps.
+    Distance queries (`distance_to_obstacle`) are not available on the
+    view (cell_ranges describe the base world's boxes, not the local
+    occupancy)."""
+    return GridWorld(
+        resolution=base.resolution,
+        world_min=base.world_min,
+        world_max=base.world_max,
+        origin_idx=base.origin_idx,
+        occ=occ,
+        blocked=blocked,
+        blocked_cumsum=cumsum,
+        cell_ranges=base.cell_ranges,
+        n_boxes=0,
+        radius=base.radius,
+    )
+
+
+# ----------------------------------------------------------------------
 # Construction (host side, numpy; once per mission)
 # ----------------------------------------------------------------------
 
 
-def build_grid_world(
-    boxes: np.ndarray,
-    world_min,
-    world_max,
-    resolution: float,
-    radius: float,
-) -> GridWorld:
-    """Rasterize the CSV box list and precompute all static fields.
-
-    `boxes`: [B, 6] rows (cx, cy, cz, sx, sy, sz). Rasterization matches
-    MapManager::updateOctreeFromCSV (src/map_manager.cpp:262-305): cells
-    with index i in [round((c−s/2)/res), round((c+s/2)/res)) per axis.
-    `radius` is the agent radius used for the blocked-lattice mask
-    (all agents share one radius in the shipped benchmarks; rebuild per
-    distinct radius if heterogeneous).
-    """
+def rasterize_boxes(boxes: np.ndarray, world_min, world_max,
+                    resolution: float):
+    """Rasterize a CSV box list into an occupancy grid. Returns
+    (occ [X, Y, Z] bool, cell_ranges [B, 3, 2] int32 global index ranges,
+    origin_idx [3] int64, dims [3] int64). Semantics match
+    MapManager::updateOctreeFromCSV (src/map_manager.cpp:262-305)."""
     world_min = np.asarray(world_min, dtype=np.float64)
     world_max = np.asarray(world_max, dtype=np.float64)
     origin_idx = np.round(world_min / resolution).astype(np.int64)
@@ -184,6 +249,31 @@ def build_grid_world(
         chi = np.minimum(hi - origin_idx, dims)
         if np.all(chi > clo):
             occ[clo[0] : chi[0], clo[1] : chi[1], clo[2] : chi[2]] = True
+    return occ, cell_ranges, origin_idx, dims
+
+
+def build_grid_world(
+    boxes: np.ndarray,
+    world_min,
+    world_max,
+    resolution: float,
+    radius: float,
+) -> GridWorld:
+    """Rasterize the CSV box list and precompute all static fields.
+
+    `boxes`: [B, 6] rows (cx, cy, cz, sx, sy, sz). Rasterization matches
+    MapManager::updateOctreeFromCSV (src/map_manager.cpp:262-305): cells
+    with index i in [round((c−s/2)/res), round((c+s/2)/res)) per axis.
+    `radius` is the agent radius used for the blocked-lattice mask
+    (all agents share one radius in the shipped benchmarks; rebuild per
+    distinct radius if heterogeneous).
+    """
+    occ, cell_ranges, origin_idx, dims = rasterize_boxes(
+        boxes, world_min, world_max, resolution
+    )
+    world_min = np.asarray(world_min, dtype=np.float64)
+    world_max = np.asarray(world_max, dtype=np.float64)
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 6)
 
     blocked = _blocked_lattice_mask(occ, resolution, radius)
     S = np.zeros(tuple(d + 1 for d in blocked.shape), dtype=np.int32)
@@ -214,10 +304,7 @@ def _blocked_lattice_mask(occ: np.ndarray, res: float, radius: float) -> np.ndar
     computed for every lattice point at once by separable dilation.
     """
     X, Y, Z = occ.shape
-    r = radius / res
-    eps = 1e-6
-    d_lo = int(np.ceil(-r - 1 + eps))  # smallest (i - j)
-    d_hi = int(np.floor(r - eps))  # largest (i - j)
+    d_lo, d_hi = dilation_offsets(res, radius)
     out = np.zeros((X + 1, Y + 1, Z + 1), dtype=bool)
     # separable dilation: axis by axis
     cur = occ
