@@ -34,10 +34,13 @@ def build_param(args) -> Param:
         dt=args.dt,
         multisim_time_step=args.dt,
         qp_max_iter=args.qp_iters,
+        world_use_global_map=not args.no_global_map,
+        sensor_range=args.sensor_range,
     )
 
 
-def run_one(mission_file, world_file, param, log_dir, seed, verbose):
+def run_one(mission_file, world_file, param, log_dir, seed, verbose,
+            checkpoint=None, checkpoint_every=0, resume=None):
     mission = Mission.load(
         mission_file,
         world_file=world_file if param.world_use_octomap else None,
@@ -47,7 +50,10 @@ def run_one(mission_file, world_file, param, log_dir, seed, verbose):
         noise_seed=seed,
     )
     sim = MultiSyncSimulator(param, mission, log_dir=log_dir, seed=seed)
-    result = sim.run(verbose=verbose)
+    if resume:
+        sim.load_checkpoint(resume)
+    result = sim.run(verbose=verbose, checkpoint_path=checkpoint,
+                     checkpoint_every=checkpoint_every)
     result["mission"] = os.path.basename(mission_file)
     return result
 
@@ -66,6 +72,16 @@ def main(argv=None):
     ap.add_argument("--mapf", default="pibt", choices=["pibt", "ecbs"])
     ap.add_argument("--dimension", type=int, default=2)
     ap.add_argument("--no-octomap", action="store_true")
+    ap.add_argument("--no-global-map", action="store_true",
+                    help="local-sensing mode: agents discover the world "
+                         "within --sensor-range and merge maps in comm "
+                         "range (reference world/use_global_map=false)")
+    ap.add_argument("--sensor-range", type=float, default=3.0)
+    ap.add_argument("--checkpoint", help="checkpoint .npz path to write")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save the checkpoint every N planning steps")
+    ap.add_argument("--resume", help="checkpoint .npz to restore before "
+                                     "running (single-mission mode)")
     ap.add_argument("--comm-range", type=float, default=3.0)
     ap.add_argument("--max-iter", type=int, default=600)
     ap.add_argument("--M", type=int, default=10)
@@ -100,7 +116,9 @@ def main(argv=None):
         print(f"# success {len(ok)}/{len(results)}")
     else:
         r = run_one(args.mission, args.world, param, args.log_dir, args.seed,
-                    args.verbose)
+                    args.verbose, checkpoint=args.checkpoint,
+                    checkpoint_every=args.checkpoint_every,
+                    resume=args.resume)
         print(json.dumps(r))
         results.append(r)
     return results

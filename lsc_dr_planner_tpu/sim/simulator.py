@@ -184,13 +184,17 @@ class MultiSyncSimulator:
             self.map_manager.sense(self.pos, p.sensor_range)
 
     # ==================================================================
-    def run(self, max_iterations: Optional[int] = None, verbose: bool = False):
+    def run(self, max_iterations: Optional[int] = None, verbose: bool = False,
+            checkpoint_path: Optional[str] = None, checkpoint_every: int = 0):
         p = self.param
         max_iter = max_iterations or p.multisim_max_planner_iteration
         for it in range(max_iter):
             if self.is_finished() or it == max_iter - 1:
                 break
-            if it > 0:
+            if checkpoint_path and checkpoint_every and it > 0 \
+                    and it % checkpoint_every == 0:
+                self.save_checkpoint(checkpoint_path)
+            if self.planner_seq > 0 or it > 0:
                 self.do_step()
             self.decentralized_mapp()
             ok = self.plan()
@@ -206,6 +210,19 @@ class MultiSyncSimulator:
                 )
         self.summarize()
         return self.summary()
+
+    # ==================================================================
+    def save_checkpoint(self, path: str) -> None:
+        """Full-fidelity mid-run checkpoint (see sim/checkpoint.py)."""
+        from lsc_dr_planner_tpu.sim.checkpoint import save_checkpoint
+
+        save_checkpoint(self, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore a checkpoint into this simulator (same Param+Mission)."""
+        from lsc_dr_planner_tpu.sim.checkpoint import load_checkpoint
+
+        load_checkpoint(self, path)
 
     # ==================================================================
     def is_finished(self) -> bool:

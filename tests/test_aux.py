@@ -80,3 +80,93 @@ def test_prior_based_mode_runs(tmp_path):
     res = sim.run()
     assert not res["is_collided"]
     assert res["safety_ratio_agent"] >= 1.0
+
+
+# ======================================================================
+# checkpoint / resume
+# ======================================================================
+
+
+def _drive(sim, start, stop):
+    for it in range(start, stop):
+        if it > 0:
+            sim.do_step()
+        sim.decentralized_mapp()
+        assert sim.plan()
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """A run resumed from a checkpoint continues exactly like the
+    uninterrupted run (the reference has no mid-run checkpointing at
+    all — SURVEY §5.4)."""
+    from lsc_dr_planner_tpu.config import Param
+    from lsc_dr_planner_tpu.mission import generate_random_mission
+    from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
+
+    m = generate_random_mission(4, [-3, -3, 0], [3, 3, 2.5], seed=3,
+                                min_separation=1.2)
+    m.world_boxes = np.array([[0.0, 1.2, 1.25, 0.5, 0.5, 2.5]])
+    m.world_file_name = "mini.csv"
+    p = Param(world_use_octomap=True, qp_max_iter=120)
+
+    ref = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    _drive(ref, 0, 16)
+
+    half = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    _drive(half, 0, 8)
+    ck = str(tmp_path / "ck.npz")
+    half.save_checkpoint(ck)
+
+    res = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    res.load_checkpoint(ck)
+    assert res.planner_seq == half.planner_seq
+    _drive(res, 8, 16)
+
+    np.testing.assert_array_equal(res.pos, ref.pos)
+    np.testing.assert_array_equal(res.prev_ctrl, ref.prev_ctrl)
+    np.testing.assert_array_equal(res.current_goal, ref.current_goal)
+    np.testing.assert_array_equal(res.next_waypoint, ref.next_waypoint)
+    assert res.sim_time == ref.sim_time
+    assert res.safety_ratio_agent == ref.safety_ratio_agent
+
+
+def test_checkpoint_local_maps_roundtrip(tmp_path):
+    from lsc_dr_planner_tpu.config import Param
+    from lsc_dr_planner_tpu.mission import generate_random_mission
+    from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
+
+    m = generate_random_mission(2, [-3, -3, 0], [3, 3, 2.5], seed=5,
+                                min_separation=1.5)
+    m.world_boxes = np.array([[0.0, 1.0, 1.25, 0.5, 0.5, 2.5]])
+    m.world_file_name = "mini.csv"
+    p = Param(world_use_octomap=True, world_use_global_map=False,
+              qp_max_iter=100)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    _drive(sim, 0, 4)
+    ck = str(tmp_path / "ck.npz")
+    sim.save_checkpoint(ck)
+
+    sim2 = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    sim2.load_checkpoint(ck)
+    np.testing.assert_array_equal(sim2.map_manager.known,
+                                  sim.map_manager.known)
+    _drive(sim, 4, 8)
+    _drive(sim2, 4, 8)
+    np.testing.assert_array_equal(sim2.pos, sim.pos)
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    from lsc_dr_planner_tpu.config import Param
+    from lsc_dr_planner_tpu.mission import generate_random_mission
+    from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
+
+    m4 = generate_random_mission(4, [-3, -3, 0], [3, 3, 2.5], seed=3)
+    m3 = generate_random_mission(3, [-3, -3, 0], [3, 3, 2.5], seed=3)
+    p = Param(world_use_octomap=False, qp_max_iter=60)
+    a = MultiSyncSimulator(p, m4, log_dir=str(tmp_path))
+    _drive(a, 0, 2)
+    ck = str(tmp_path / "ck.npz")
+    a.save_checkpoint(ck)
+    b = MultiSyncSimulator(p, m3, log_dir=str(tmp_path))
+    with pytest.raises(ValueError):
+        b.load_checkpoint(ck)
