@@ -158,16 +158,16 @@ class Param:
     orca_inflation_ratio: float = 1.5
     orca_pref_velocity_ratio: float = 1.0
 
-    # Grid-based planner. grid_margin follows the reference's param.cpp
-    # default (0.1; the benchmark launch file sets 0.0) — blocking
-    # near-wall cells in the MAPF layer meters agents away from
-    # cul-de-sac pockets and resolves most corridor knots.
+    # Grid-based planner. The reference thresholds occupancy at exactly
+    # agent_radius (grid_based_planner.cpp:128-135; the launch file sets
+    # grid/margin = 0.0 and the param is dead code there). Here a
+    # positive margin keeps MAPF waypoints off near-wall cells — where
+    # the goal LP advances slowly — and the MAPF layer automatically
+    # falls back to the margin-free grid whenever the margined grid
+    # disconnects an agent from its goal (e.g. the 0.5 m dense-maze
+    # corridors, which a 0.1 margin would block entirely).
     grid_resolution: float = 0.5
     grid_margin: float = 0.1
-    # max physical lag (in grid cells) between an agent and its waypoint
-    # before further waypoint updates are held back (liveness guard; not
-    # in the reference — see sim/simulator.py)
-    waypoint_body_lag: float = 2.0
 
     # Goal
     goal_threshold: float = 0.1

@@ -47,7 +47,7 @@ def save_checkpoint(sim, path: str) -> None:
         "version": _VERSION,
         "scalars": {k: getattr(sim, k) for k in _SCALAR_FIELDS},
         "planner_state": sim.planner_state.name,
-        "mapf_plans": sim._mapf_plans,
+        "group_plans": sim._group_plans,
         "pos_history": [h.copy() for h in sim._pos_history],
         "planning_time": sim.planning_time,
         "traj_history": sim.traj_history,
@@ -87,7 +87,7 @@ def load_checkpoint(sim, path: str) -> None:
     for k, v in aux["scalars"].items():
         setattr(sim, k, v)
     sim.planner_state = PlannerState[aux["planner_state"]]
-    sim._mapf_plans = aux["mapf_plans"]
+    sim._group_plans = aux["group_plans"]
     sim._pos_history = aux["pos_history"]
     sim.planning_time = aux["planning_time"]
     sim.traj_history = aux["traj_history"]

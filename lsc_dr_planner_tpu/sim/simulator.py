@@ -100,15 +100,27 @@ class MultiSyncSimulator:
             self.map_manager = None
         self._coarse_version = -1
 
+        coarse_fn = (
+            linf_distance
+            if p.world_use_octomap and not self.local_maps
+            else None
+        )
         self.coarse = build_coarse_grid(
             mission.world_min, mission.world_max, p.grid_resolution,
             p.world_dimension, p.world_z_2d,
-            distance_fn=(
-                linf_distance
-                if p.world_use_octomap and not self.local_maps
-                else None
-            ),
+            distance_fn=coarse_fn,
             agent_radius=float(s["radius"][0]) + p.grid_margin,
+        )
+        # margin-free fallback grid (same geometry, reference occupancy
+        # semantics — used when the margined grid disconnects a goal)
+        self.coarse_nomargin = (
+            build_coarse_grid(
+                mission.world_min, mission.world_max, p.grid_resolution,
+                p.world_dimension, p.world_z_2d,
+                distance_fn=coarse_fn,
+                agent_radius=float(s["radius"][0]),
+            )
+            if p.grid_margin > 0 else self.coarse
         )
 
         self.obstacle_generator = ObstacleGenerator(mission.obstacles, seed=seed)
@@ -148,9 +160,9 @@ class MultiSyncSimulator:
         self.sfc_hi = np.zeros((self.A, p.M, 3), np.int32)
         self.sfc_initialized = np.zeros(self.A, bool)
         self.planner_seq = 0
-        self.mapf_elapsed = np.zeros(self.A, dtype=int)
-        self._mapf_plans = {}
         self._pos_history: List[np.ndarray] = []
+        self._group_plans = {}
+        self.mapf_elapsed = np.zeros(self.A, dtype=np.int64)
         self._dist_best = np.full(self.A, np.inf)
         self._no_progress = np.zeros(self.A, dtype=int)
         self._yield_agent = -1
@@ -342,10 +354,31 @@ class MultiSyncSimulator:
 
         if stalled_d.any() or stalled_p.any():
             ids = np.nonzero(stalled_d | stalled_p)[0]
-            self._mapf_plans.clear()
             self._pos_history.clear()
+            # re-sync a stalled agent's waypoint to its body's CELL
+            # CENTER (waypoints must stay on the grid: off-grid waypoints
+            # would let two waypoints share a cell — an invalid MAPF
+            # config). Skip if another agent's waypoint holds that cell.
+            wp_cells = {
+                tuple(self.coarse.point_to_node(self.next_waypoint[j])[:2])
+                for j in range(self.A)
+            }
             for i in ids:
-                self.next_waypoint[i] = self.pos[i].copy()
+                cell = self.coarse.point_to_node(self.pos[i])
+                cell[2] = 0
+                key = tuple(cell[:2])
+                mine = tuple(
+                    self.coarse.point_to_node(self.next_waypoint[i])[:2]
+                )
+                if key != mine and key in wp_cells:
+                    continue
+                wpp = self.coarse.node_to_point(cell)
+                wpp[2] = (
+                    self.pos[i][2] if p.world_dimension == 3 else p.world_z_2d
+                )
+                wp_cells.discard(mine)
+                wp_cells.add(key)
+                self.next_waypoint[i] = wpp
             if stalled_p.any():
                 pids = np.nonzero(stalled_p)[0]
                 self._no_progress[pids] = 0
@@ -353,9 +386,9 @@ class MultiSyncSimulator:
                 self._yield_escape(pids)
 
         occ2d = self.coarse.occ2d().copy()
-        seen_sigs = set()
         if self._yield_hold > 0:
             self._yield_hold -= 1
+        seen_sigs = set()
         for group in self._groups():
             timer = Timer()
             cells_start = [tuple(self.coarse.point_to_node(self.start_point[i])[:2])
@@ -364,175 +397,185 @@ class MultiSyncSimulator:
                          for i in group]
             cells_goal = [tuple(self.coarse.point_to_node(self.desired_goal[i])[:2])
                           for i in group]
-            # unblock occupied current/goal cells (grid_based_planner.cpp:262-283)
-            occ_grp = occ2d.copy()
-            for c in cells_cur + cells_goal:
-                occ_grp[c] = False
 
-            # --- MAPF plan commitment -----------------------------------
-            # The reference re-solves MAPF from scratch every step
-            # (grid_based_planner.cpp:324-341); with replanning-by-step,
-            # fresh PIBT solves can alternate between symmetric joint
-            # plans, producing waypoint limit cycles. We commit to one
-            # cached joint plan per (group, goals) signature and follow
-            # it until exhausted or diverged, re-solving only then.
-            sig = (tuple(group), tuple(cells_goal))
+            # --- committed joint plan + MCP execution ---------------------
+            # The reference re-solves MAPF from scratch every step and
+            # follows plan[1] verbatim (grid_based_planner.cpp:324-341,
+            # multi_sync_simulator.cpp:216-221). Under replanning-by-step
+            # that memoryless following can limit-cycle (two opposing
+            # streams in the 0.5 m dense-maze corridors orbit forever).
+            # Here each group COMMITS to one joint plan and executes it
+            # with the Minimal Communication Policy (MCP, Ma & Koenig's /
+            # Hönig et al.'s order-preserving MAPF execution): per cell,
+            # agents enter in exactly the plan's visit order, each move
+            # gated on goal-LP convergence. A valid joint plan executed
+            # order-preservingly cannot deadlock; the plan is re-solved
+            # only when the group, its goals, the grid, or the virtual
+            # config (stall resets, yields) change.
+            sig = (tuple(group), tuple(cells_goal), self._coarse_version)
             seen_sigs.add(sig)
-            cached = self._mapf_plans.get(sig)
-            if cached is not None:
-                # advance each agent's pointer to its current waypoint
-                ok_cache = True
-                for gi, i in enumerate(group):
-                    path, k = cached[gi]
-                    while k + 1 < len(path) and path[k] != cells_cur[gi]:
-                        k += 1
-                    if path[k] != cells_cur[gi]:
-                        ok_cache = False
+            plan = self._group_plans.get(sig)
+            if plan is not None:
+                # desync (stall reset / yield moved a waypoint off-plan)?
+                for gi in range(len(group)):
+                    if plan["paths"][gi][plan["ptr"][gi]] != cells_cur[gi]:
+                        plan = None
                         break
-                    cached[gi] = (path, k)
-                if ok_cache and all(
-                    k + 1 < len(path) or path[k] == cells_goal[gi]
-                    for gi, (path, k) in enumerate(cached)
-                ):
-                    paths = [
-                        [cells_cur[gi]] + list(path[k + 1:])
-                        for gi, (path, k) in enumerate(cached)
-                    ]
-                else:
-                    cached = None
 
-            if cached is None:
-                if p.mapf_mode == MAPFMode.PIBT:
-                    paths = pibtmod.solve_pibt(
-                        occ_grp, cells_start, cells_cur, cells_goal, seed=0,
-                        init_elapsed=[self.mapf_elapsed[i] for i in group],
+            if plan is None:
+                # unblock occupied current/goal cells
+                # (grid_based_planner.cpp:262-283)
+                occ_grp = occ2d.copy()
+                for c in cells_cur + cells_goal:
+                    occ_grp[c] = False
+
+                def solve(occ):
+                    if p.mapf_mode == MAPFMode.PIBT:
+                        return pibtmod.solve_pibt(
+                            occ, cells_start, cells_cur, cells_goal, seed=0,
+                            init_elapsed=[self.mapf_elapsed[i] for i in group],
+                        )
+                    return ecbsmod.solve_ecbs(
+                        occ, cells_start, cells_cur, cells_goal
                     )
-                else:
-                    paths = ecbsmod.solve_ecbs(
-                        occ_grp, cells_start, cells_cur, cells_goal
-                    )
+
+                paths = solve(occ_grp)
+                if paths is None and self.coarse_nomargin is not self.coarse:
+                    # margin-free fallback (narrow corridors the margined
+                    # grid blocks entirely)
+                    occ_nm = self.coarse_nomargin.occ2d().copy()
+                    for c in cells_cur + cells_goal:
+                        occ_nm[c] = False
+                    paths = solve(occ_nm)
                 if paths is not None:
-                    # normalize every path to start at the CURRENT cell
-                    # (PIBT prepends the mission-start config, pibt.cpp:44;
-                    # ECBS starts from current) and compress consecutive
-                    # waits (the per-agent update gates already provide
-                    # the waiting behavior)
-                    norm = []
-                    for gi in range(len(group)):
-                        pth = list(paths[gi])
-                        if pth[0] != cells_cur[gi]:
-                            pth = pth[1:] if len(pth) > 1 else pth
-                        if pth[0] != cells_cur[gi]:
-                            pth = [cells_cur[gi]] + pth
-                        dedup = [pth[0]]
-                        for c in pth[1:]:
-                            if c != dedup[-1]:
-                                dedup.append(c)
-                        norm.append((dedup, 0))
-                    self._mapf_plans[sig] = norm
-                    paths = [pth for pth, _ in norm]
+                    plan = self._commit_plan(group, cells_cur, paths)
+                    self._group_plans[sig] = plan
             self.planning_time.mapf_time.update(timer.stop())
-            if paths is None:
+            if plan is None:
                 continue  # MAPF failed: keep previous waypoints (:295-297)
 
-            desired_wp = {}
+            paths, ptr, visits = plan["paths"], plan["ptr"], plan["visits"]
+            T = len(paths[0])
             for gi, i in enumerate(group):
-                path = paths[gi]
-                cell = path[min(1, len(path) - 1)]
-                wpp = self.coarse.node_to_point(np.array([cell[0], cell[1], 0]))
+                # fast-forward waits (order of per-cell visits is
+                # unaffected; MCP lets agents run ahead of the schedule
+                # as long as the order holds)
+                k = ptr[gi]
+                while k + 1 < T and paths[gi][k + 1] == paths[gi][k]:
+                    k += 1
+                ptr[gi] = k
+                if k + 1 >= T:
+                    continue  # plan finished → goal walk below
+                v = paths[gi][k + 1]
+
+                # MCP order gate: every earlier visit of v must be over
+                enabled = True
+                for (t_in, t_out, gj) in visits[v]:
+                    if t_in < k + 1 and ptr[gj] <= t_out:
+                        enabled = False
+                        break
+                if not enabled:
+                    continue
+                if i == self._yield_agent and self._yield_hold > 0:
+                    continue
+
+                wpp = self.coarse.node_to_point(np.array([v[0], v[1], 0]))
                 if p.world_dimension == 3:
                     # the MAPF layer is planar (the reference collapses z,
                     # problem.cpp:148-201); fly it at the goal altitude
                     wpp[2] = self.desired_goal[i][2]
-                desired_wp[i] = wpp
 
-            # communication-range reachability check (:217-252)
-            update_cand = set()
-            for gi, i in enumerate(group):
-                wp = desired_wp[i]
-                ok = not (i == self._yield_agent and self._yield_hold > 0)
+                # communication-range reachability check (:217-252)
                 if p.communication_range > 0:
                     pts = [self.desired_ctrl[i, m, 0] for m in range(p.M)]
                     pts.append(self.desired_ctrl[i, -1, -1])
                     if not self.has_prev[i]:
                         pts = [self.pos[i]]
-                    for q in pts:
-                        if np.max(np.abs(wp - q)) > 0.5 * p.communication_range - 1e-6:
-                            ok = False
-                            break
-                # body-lag bound: don't advance the waypoint until the
-                # agent is physically within one grid cell of the current
-                # one (keeps the virtual MAPF state from "completing"
-                # swaps the bodies can't execute; the reference gates on
-                # goal convergence only)
-                if (
-                    np.linalg.norm(self.pos[i] - self.next_waypoint[i])
-                    > p.waypoint_body_lag * p.grid_resolution + 1e-6
-                ):
-                    ok = False
-                if (
-                    ok
-                    and np.linalg.norm(wp - self.next_waypoint[i]) > 1e-6
-                    and np.linalg.norm(
-                        self.current_goal[i] - self.next_waypoint[i]
-                    ) < 1e-6
-                ):
-                    update_cand.add(i)
+                    if any(
+                        np.max(np.abs(wpp - q))
+                        > 0.5 * p.communication_range - 1e-6
+                        for q in pts
+                    ):
+                        continue
+                # goal-convergence gate (:245-248): advance only once the
+                # goal LP has pulled the current goal onto the waypoint
+                if np.linalg.norm(
+                    self.current_goal[i] - self.next_waypoint[i]
+                ) > 1e-6:
+                    continue
 
-            # mutual-occupancy vetting (:254-288)
-            update = False
-            while not update and update_cand and len(group) > 1:
-                for i in list(update_cand):
-                    update = True
-                    for j in group:
-                        if i == j:
-                            continue
-                        wp_j = (
-                            desired_wp[j]
-                            if j in update_cand
-                            else self.next_waypoint[j]
-                        )
-                        if np.linalg.norm(desired_wp[i] - wp_j) < 1e-6:
-                            update_cand.discard(i)
-                            update = False
-                            break
-                    if not update:
-                        break
+                self.next_waypoint[i] = wpp
+                ptr[gi] = k + 1
 
-            for i in update_cand:
-                self.next_waypoint[i] = desired_wp[i]
-
-            # persistent PIBT priority: agents whose waypoint is not yet at
-            # their goal cell accumulate priority across steps. Once the
-            # waypoint reaches the goal CELL, snap it to the exact goal
-            # POINT (carries the altitude in 3-D and off-grid goals).
+            # Once the waypoint reaches the goal CELL, walk it to the
+            # exact goal POINT one grid step at a time (bridges altitude
+            # in 3-D and off-grid goals without violating the comm-range
+            # waypoint bound; the reference's mission goals sit on the
+            # grid, so its waypoints ARE the exact goals)
             for gi, i in enumerate(group):
                 at_goal = (
                     tuple(self.coarse.point_to_node(self.next_waypoint[i])[:2])
                     == cells_goal[gi]
                 )
                 if at_goal:
-                    # walk the waypoint toward the exact goal point one
-                    # grid step at a time (bridges altitude in 3-D and
-                    # off-grid goals without violating the comm-range
-                    # waypoint bound)
                     delta = np.clip(
                         self.desired_goal[i] - self.next_waypoint[i],
                         -p.grid_resolution, p.grid_resolution,
                     )
                     self.next_waypoint[i] = self.next_waypoint[i] + delta
-                self.mapf_elapsed[i] = 0 if at_goal else self.mapf_elapsed[i] + 1
+                # persistent PIBT priority: agents stuck away from their
+                # goals accumulate priority for the NEXT solve (commit
+                # time), like in-plan PIBT elapsed (pibt.cpp:78)
+                self.mapf_elapsed[i] = (
+                    0 if at_goal else self.mapf_elapsed[i] + 1
+                )
 
-        # prune plans for groups that no longer exist
-        self._mapf_plans = {
-            s: v for s, v in self._mapf_plans.items() if s in seen_sigs
+        # drop plans of groups that no longer exist
+        self._group_plans = {
+            s: v for s, v in self._group_plans.items() if s in seen_sigs
         }
+
+    # ==================================================================
+    @staticmethod
+    def _commit_plan(group, cells_cur, paths):
+        """Normalize a fresh joint plan for MCP execution: per-agent cell
+        sequences starting at the current virtual config, padded to equal
+        length, plus per-cell visit intervals (t_in, t_out, agent index)
+        in plan order."""
+        n = len(group)
+        # Row 0 of a PIBT solution is the mission-start config
+        # (pibt.cpp:44) while rows 1.. evolve from the CURRENT config;
+        # replace row 0 with the current config JOINTLY so all agents
+        # share one timeline ([cur, cfg1, cfg2, …]). ECBS paths already
+        # start at the current config.
+        if all(len(paths[gi]) and paths[gi][0] == cells_cur[gi]
+               for gi in range(n)):
+            norm = [list(paths[gi]) for gi in range(n)]
+        else:
+            norm = [
+                [cells_cur[gi]] + list(paths[gi])[1:] for gi in range(n)
+            ]
+        T = max(len(pth) for pth in norm)
+        for pth in norm:
+            pth.extend([pth[-1]] * (T - len(pth)))
+
+        visits = {}
+        for gi in range(n):
+            t = 0
+            while t < T:
+                t_out = t
+                while t_out + 1 < T and norm[gi][t_out + 1] == norm[gi][t]:
+                    t_out += 1
+                visits.setdefault(norm[gi][t], []).append((t, t_out, gi))
+                t = t_out + 1
+        for v in visits:
+            visits[v].sort()
+        return {"paths": norm, "ptr": [0] * n, "visits": visits}
 
     # ==================================================================
     def _rebuild_coarse_from_known(self):
         """Rebuild the coarse MAPF grid from the union of the fleet's
-        discovered occupancy. Cached MAPF plans are dropped (planned on
-        a stale grid)."""
+        discovered occupancy."""
         p = self.param
         mm = self.map_manager
         occ = mm.union_occ()
@@ -561,8 +604,16 @@ class MultiSyncSimulator:
             distance_fn=fn,
             agent_radius=float(self.s["radius"][0]) + p.grid_margin,
         )
+        self.coarse_nomargin = (
+            build_coarse_grid(
+                self.mission.world_min, self.mission.world_max,
+                p.grid_resolution, p.world_dimension, p.world_z_2d,
+                distance_fn=fn,
+                agent_radius=float(self.s["radius"][0]),
+            )
+            if p.grid_margin > 0 else self.coarse
+        )
         self._coarse_version = mm.version()
-        self._mapf_plans.clear()
 
     # ==================================================================
     def _yield_escape(self, stalled_ids):
@@ -575,9 +626,13 @@ class MultiSyncSimulator:
 
         occ = self.coarse.occ2d()
         X, Y = occ.shape
-        # all agent cells (not just stalled) are blocked for the escape
+        # all agent body AND waypoint cells are blocked for the escape
+        # (one waypoint per cell is the MAPF-layer invariant)
         all_cells = {
             tuple(self.coarse.point_to_node(self.pos[j])[:2])
+            for j in range(self.A)
+        } | {
+            tuple(self.coarse.point_to_node(self.next_waypoint[j])[:2])
             for j in range(self.A)
         }
         centroid = np.mean([self.pos[i] for i in stalled_ids], axis=0)
