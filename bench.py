@@ -104,21 +104,22 @@ def main():
 
     from lsc_dr_planner_tpu.ops import qp
 
-    A = 128
+    A = 1024
     cfg, inp = build_workload(A)
     solve = jax.jit(lambda i: qp.solve(cfg, i))
 
     out = solve(inp)  # compile + cold solve
     out.x.block_until_ready()
-    # steady-state replanning: warm-start from the previous solution
-    # (the planner's previous-solution shift makes every real step warm)
-    import jax.numpy as jnp
-
-    inp = inp._replace(x0=out.x)
+    # steady-state replanning: warm-start primal from the previous
+    # solution and duals from the previous step's multipliers (the
+    # planner's previous-solution shift makes every real step warm)
+    inp = inp._replace(x0=out.x, y0=out.y)
     out = solve(inp)
     out.x.block_until_ready()
     conv = float(np.asarray(out.converged).mean())
 
+    # throughput: independent scenario batches pipelined through the chip
+    # (Monte-Carlo batching; host dispatch overlaps device execution)
     steps = 20
     t0 = time.perf_counter()
     for _ in range(steps):

@@ -91,6 +91,7 @@ class QPInputs(NamedTuple):
     ub: jnp.ndarray  # [A, dim, M, N]
     comm_halfrange: jnp.ndarray  # [A] (0.5·R − r; big disables)
     x0: jnp.ndarray  # [A, dim, M, N] warm start (initial trajectory)
+    y0: jnp.ndarray = None  # [A, R] optional dual warm start (None = cold)
 
 
 class QPResult(NamedTuple):
@@ -99,6 +100,8 @@ class QPResult(NamedTuple):
     primal_residual: jnp.ndarray  # [A] max constraint violation (unscaled)
     iterations: jnp.ndarray  # [A] int
     objective: jnp.ndarray  # [A]
+    z: jnp.ndarray = None  # [A, R] final slack rows (reduced coords)
+    y: jnp.ndarray = None  # [A, R] final duals — next step's warm start
 
 
 # ----------------------------------------------------------------------
@@ -322,209 +325,335 @@ def cost_matrices(cfg: QPConfig, inp_leaf):
 
 
 @functools.lru_cache(maxsize=None)
-def _static_reduced_rows(cfg: QPConfig):
-    """Precompute (numpy) everything data-INDEPENDENT of the reduced
-    constraint system: the non-LSC row blocks of A·N (vel/acc/comm/bound
-    families evaluated on the nullspace basis), their pin offsets A·X_pin,
-    and the reduced jerk-cost block. Only the LSC block depends on
-    per-step data and is assembled with one outer product at runtime."""
-    dim, M, n, N = cfg.dim, cfg.M, cfg.n, cfg.N
-    MN = M * N
-    V = dim * MN
-    N_null, X_pin = _equality_basis(M, n, cfg.phi, cfg.dt, cfg.stop_at_horizon)
-    Kdim = N_null.shape[1]
+def _solver_statics(cfg: QPConfig):
+    """Everything data-independent, in numpy, shared across the fleet.
 
-    # static rows on the FULL x (per-dim structure): build per-dim blocks
-    rows_dim = []  # each: [r, MN] acting on one dim's flat control points
-    # velocity diffs
+    The reduced constraint operator is never materialised per agent: the
+    static families (vel/acc/comm/bound) are evaluated structurally
+    (first/second differences, gathers) and the LSC family through one
+    einsum with the per-step normals, so every per-iteration matmul is a
+    shared-matrix GEMM over the batch — the MXU-friendly shape — instead
+    of an [A, rows, vars] batched matvec.
+    """
+    M, n, N = cfg.M, cfg.n, cfg.N
+    MN = M * N
+    N_null, X_pin = _equality_basis(M, n, cfg.phi, cfg.dt, cfg.stop_at_horizon)
+    K = N_null.shape[1]
+    N3 = N_null.reshape(M, N, K)
+
+    # reduced jerk-cost base (per dim) and terminal outer products
+    P_base = np.kron(
+        np.eye(M),
+        2.0 * cfg.control_input_weight
+        * bernstein.jerk_cost_matrix(n, cfg.phi, 1, cfg.dt),
+    )  # [MN, MN]
+    Pn_base = N_null.T @ P_base @ N_null  # [K, K]
+    T_term = np.einsum("mk,ml->mkl", N3[:, n, :], N3[:, n, :])  # [M, K, K]
+
+    # LSC Gram reduction tensor: Σ_i N3[m,i,:] ⊗ N3[m,i,:]
+    T_lsc = np.einsum("mik,mil->mkl", N3, N3)  # [M, K, K]
+
+    # static families on the nullspace basis (per dim), with their ρ,
+    # in the same family order as constraint_bounds
+    rows = []
+    rhos = []
     for m in range(M):
         for i in range(n):
             r = np.zeros(MN)
             r[m * N + i + 1] = 1
             r[m * N + i] = -1
-            rows_dim.append(r)
-    n_vel = M * n
-    # acceleration second diffs
+            rows.append(r)
+            rhos.append(cfg.rho * _RHO_SCALE["vel"])
     for m in range(M):
         for i in range(n - 1):
             r = np.zeros(MN)
             r[m * N + i + 2] = 1
             r[m * N + i + 1] = -2
             r[m * N + i] = 1
-            rows_dim.append(r)
-    n_acc = M * (n - 1)
-    # comm pairs
-    n_comm = 0
+            rows.append(r)
+            rhos.append(cfg.rho * _RHO_SCALE["acc"])
+    Smm = Smi = None
     if cfg.use_comm:
         mi_arr, mm_arr = _comm_pairs(M)
-        for mi, mm in zip(mi_arr, mm_arr):
+        P = len(mi_arr)
+        Smm = np.zeros((M, P))
+        Smi = np.zeros((M, P))
+        for p, (mi, mm) in enumerate(zip(mi_arr, mm_arr)):
             r = np.zeros(MN)
             r[mm * N + n] += 1
             r[mi * N + 0] -= 1
-            rows_dim.append(r)
-        n_comm = len(mi_arr)
-    # bounds (identity)
-    rows_dim.extend(np.eye(MN))
-    A_dim = np.asarray(rows_dim)  # [r_dim, MN]
+            rows.append(r)
+            rhos.append(cfg.rho * _RHO_SCALE["comm"])
+            Smm[mm, p] = 1.0
+            Smi[mi, p] = 1.0
+    rows.extend(np.eye(MN))
+    rhos.extend([cfg.rho * _RHO_SCALE["bound"]] * MN)
+    A_dim = np.asarray(rows)  # [R_dim, MN]
+    rho_dim = np.asarray(rhos)
+    An_sd = A_dim @ N_null
+    G_stat = (An_sd.T * rho_dim) @ An_sd  # [K, K], identical per dim
 
-    An_static_dim = A_dim @ N_null  # [r_dim, Kdim]
-    Apin_static_dim = A_dim @ X_pin  # [r_dim, phi]
-
-    P_dim_base = np.kron(
-        np.eye(M), 2.0 * cfg.control_input_weight
-        * bernstein.jerk_cost_matrix(n, cfg.phi, 1, cfg.dt)
-    )  # terminal diagonal added at runtime
-    return (
-        N_null, X_pin, An_static_dim, Apin_static_dim, P_dim_base,
-        (n_vel, n_acc, n_comm),
-    )
-
-
-def solve_single(cfg: QPConfig, inp_leaf) -> tuple:
-    """Solve one agent's QP (vmapped over the fleet by `solve`)."""
-    dtype = inp_leaf.p0.dtype
-    dim, M, n, N = cfg.dim, cfg.M, cfg.n, cfg.N
-    MN = M * N
-    (N_null_np, X_pin_np, An_sd_np, Apin_sd_np, P_base_np, _counts) = (
-        _static_reduced_rows(cfg)
-    )
-    Kdim = N_null_np.shape[1]
-    N_null = jnp.asarray(N_null_np, dtype)  # [MN, Kdim]
-    X_pin = jnp.asarray(X_pin_np, dtype)  # [MN, phi]
-    An_sd = jnp.asarray(An_sd_np, dtype)  # [r_dim, Kdim]
-    Apin_sd = jnp.asarray(Apin_sd_np, dtype)
-
-    pins = pinned_values(
-        cfg, inp_leaf.p0[None], inp_leaf.v0[None], inp_leaf.a0[None]
-    )[0]  # [dim, phi]
-
-    l, u, rho = constraint_bounds(cfg, inp_leaf)
-    P_seg, tdiag, q = cost_matrices(cfg, inp_leaf)
-
-    def lift(xi):  # ξ [dim, Kdim] → x [dim, M, N]
-        x = jnp.einsum("vk,dk->dv", N_null, xi) + jnp.einsum(
-            "vp,dp->dv", X_pin, pins
-        )
-        return x.reshape(dim, M, N)
-
-    def lower(x):  # x [dim, M, N] → ξ [dim, Kdim] (orthonormal restriction)
-        xp = jnp.einsum("vp,dp->dv", X_pin, pins)
-        return jnp.einsum("vk,dv->dk", N_null, x.reshape(dim, -1) - xp)
-
-    # ---- reduced constraint matrix, closed form -----------------------
-    # LSC rows (o,m,i) on ξ[k,j]: n[o,m,k]·N_null[mN+i, j]
-    Nn3 = N_null.reshape(M, N, Kdim)
-    An_lsc = jnp.einsum("omk,mij->omikj", inp_leaf.lsc_normals, Nn3).reshape(
-        cfg.n_obs * M * N, dim * Kdim
-    )
-    # static families, family-major with dim-major rows inside each family
-    # (matches constraint_bounds's flat layout)
-    n_vel, n_acc, n_comm = _counts
-    fam_slices = []
+    # materialised static families in reduced coords, family-major with
+    # dim-major rows inside each family (constraint_bounds's flat layout)
+    n_vel, n_acc = M * n, M * (n - 1)
+    n_comm = M * (M + 1) // 2 if cfg.use_comm else 0
+    eye_d = np.eye(cfg.dim)
+    blocks = []
     off = 0
     for cnt in (n_vel, n_acc, n_comm, MN):
         if cnt:
-            fam_slices.append(slice(off, off + cnt))
+            blocks.append(np.kron(eye_d, An_sd[off:off + cnt]))
         off += cnt
-    eye_d = jnp.eye(dim, dtype=dtype)
-    An_stat = jnp.concatenate(
-        [jnp.kron(eye_d, An_sd[s]) for s in fam_slices], axis=0
-    )
-    An = jnp.concatenate([An_lsc, An_stat], axis=0)
+    An_stat = np.vstack(blocks)  # [dim·R_dim, dim·K]
 
-    # pin offsets b_off = A·x_p
-    xpart = jnp.einsum("vp,dp->dv", X_pin, pins)  # [dim, MN]
-    xp3 = xpart.reshape(dim, M, N)
-    b_lsc = jnp.einsum("omk,kmi->omi", inp_leaf.lsc_normals, xp3).reshape(-1)
-    b_stat = jnp.concatenate(
-        [
-            jnp.einsum("rp,dp->dr", Apin_sd[s], pins).reshape(-1)
-            for s in fam_slices
-        ]
-    )
-    b_off = jnp.concatenate([b_lsc, b_stat])
+    return {
+        "N_null": N_null, "X_pin": X_pin, "N3": N3, "K": K,
+        "P_base": P_base, "Pn_base": Pn_base, "T_term": T_term,
+        "T_lsc": T_lsc, "G_stat": G_stat, "Smm": Smm, "Smi": Smi,
+        "An_stat": An_stat,
+    }
+
+
+def _rows_batched(cfg: QPConfig, x, normals):
+    """Batched `constraint_rows`: x [A,dim,M,N], normals [A,O,M,dim] → [A,R]."""
+    A = x.shape[0]
+    dim, M, n = cfg.dim, cfg.M, cfg.n
+    out = [jnp.einsum("aomk,akmi->aomi", normals, x).reshape(A, -1)]
+    out.append((x[..., 1:] - x[..., :-1]).reshape(A, -1))
+    out.append((x[..., 2:] - 2 * x[..., 1:-1] + x[..., :-2]).reshape(A, -1))
+    if cfg.use_comm:
+        mi, mm = _comm_pairs(M)
+        out.append((x[:, :, mm, n] - x[:, :, mi, 0]).reshape(A, -1))
+    out.append(x.reshape(A, -1))
+    return jnp.concatenate(out, axis=-1)
+
+
+def _rows_adjoint(cfg: QPConfig, y, normals, statics):
+    """Adjoint of `_rows_batched`: y [A,R] → x-space cotangent [A,dim,M,N]."""
+    A = y.shape[0]
+    dim, M, n, N = cfg.dim, cfg.M, cfg.n, cfg.N
+    nb = row_blocks(cfg)
+    off = 0
+    yl = y[:, off:off + nb["lsc"]].reshape(A, cfg.n_obs, M, N)
+    off += nb["lsc"]
+    yv = y[:, off:off + nb["vel"]].reshape(A, dim, M, n)
+    off += nb["vel"]
+    ya = y[:, off:off + nb["acc"]].reshape(A, dim, M, n - 1)
+    off += nb["acc"]
+    yc = None
+    if cfg.use_comm:
+        yc = y[:, off:off + nb["comm"]].reshape(A, dim, -1)
+        off += nb["comm"]
+    yb = y[:, off:off + nb["bound"]].reshape(A, dim, M, N)
+
+    adj = jnp.einsum("aomk,aomi->akmi", normals, yl) + yb
+    pad = lambda v, lo, hi: jnp.pad(v, ((0, 0), (0, 0), (0, 0), (lo, hi)))
+    adj += pad(yv, 1, 0) - pad(yv, 0, 1)
+    adj += pad(ya, 2, 0) - 2 * pad(ya, 1, 1) + pad(ya, 0, 2)
+    if yc is not None:
+        Smm = jnp.asarray(statics["Smm"], y.dtype)
+        Smi = jnp.asarray(statics["Smi"], y.dtype)
+        adj = adj.at[..., n].add(jnp.einsum("mp,adp->adm", Smm, yc))
+        adj = adj.at[..., 0].add(-jnp.einsum("mp,adp->adm", Smi, yc))
+    return adj
+
+
+
+
+def solve(cfg: QPConfig, inputs: QPInputs, feas_tol: float = 5e-3) -> QPResult:
+    """Solve all agents' QPs in one fused batched ADMM.
+
+    OSQP-style iteration on the equality-reduced variables ξ (x = x_p +
+    N·ξ per dim), with:
+      * the KKT matrix assembled from Kronecker structure (static-family
+        Gram precomputed once; the LSC Gram from one tiny per-segment
+        outer-product contraction) and inverted ONCE by batched Cholesky,
+        so each iteration is a single [A, dk, dk] matvec plus
+        structural constraint evaluations — no per-iteration triangular
+        solves, no materialised [A, rows, vars] constraint matrix;
+      * early exit when every agent is feasible (row-scaled residual,
+        the same gate the caller uses) and either dual-optimal to a
+        relative tolerance or stalled at the f32 ADMM floor (Δξ ≈ 0 —
+        further iterations provably change nothing).
+    """
+    st = _solver_statics(cfg)
+    dtype = inputs.p0.dtype
+    A = inputs.p0.shape[0]
+    dim, M, n, N = cfg.dim, cfg.M, cfg.n, cfg.N
+    MN = M * N
+    K = st["K"]
+    N_null = jnp.asarray(st["N_null"], dtype)  # [MN, K]
+    X_pin = jnp.asarray(st["X_pin"], dtype)  # [MN, phi]
+
+    pins = pinned_values(cfg, inputs.p0, inputs.v0, inputs.a0)  # [A, dim, phi]
+    xpart = jnp.einsum("vp,adp->adv", X_pin, pins)  # [A, dim, MN]
+    xpart3 = xpart.reshape(A, dim, M, N)
+
+    l, u, rho = jax.vmap(lambda leaf: constraint_bounds(cfg, leaf))(inputs)
+    b_off = _rows_batched(cfg, xpart3, inputs.lsc_normals)
     ln, un = l - b_off, u - b_off
 
-    # reduced cost
-    tvec = jnp.zeros((M, N), dtype).at[:, n].set(tdiag).reshape(-1)
-    P_dim = jnp.asarray(P_base_np, dtype) + jnp.diag(tvec)  # [MN, MN]
-    Pn_dim = N_null.T @ P_dim @ N_null  # [Kdim, Kdim]
-    qn = jnp.einsum(
-        "vk,dv->dk",
-        N_null,
-        q.reshape(dim, -1) + jnp.einsum("vw,dw->dv", P_dim, xpart),
-    ).reshape(-1)
+    # ---- reduced cost -------------------------------------------------
+    P_base = jnp.asarray(st["P_base"], dtype)  # [MN, MN]
+    tdiag = 2.0 * cfg.terminal_weight * inputs.terminal_mask  # [A, M]
+    tvec = jnp.zeros((A, M, N), dtype).at[:, :, n].set(tdiag).reshape(A, 1, MN)
+    q = jnp.zeros((A, dim, M, N), dtype)
+    q = q.at[..., n].set(
+        -2.0 * cfg.terminal_weight
+        * inputs.terminal_mask[:, None, :]
+        * inputs.goal[..., None]
+    )
+    qflat = q.reshape(A, dim, MN)
+    Pxp = jnp.einsum("vw,adw->adv", P_base, xpart) + tvec * xpart
+    qn = jnp.einsum("vk,adv->adk", N_null, qflat + Pxp)  # [A, dim, K]
 
-    Pn = jnp.kron(jnp.eye(dim, dtype=dtype), Pn_dim)
-    K = Pn + cfg.sigma * jnp.eye(cfg.dim * Kdim, dtype=dtype) + (An.T * rho) @ An
-    chol = jnp.linalg.cholesky(K)
+    # ---- KKT matrix from Kronecker structure, inverted once -----------
+    Pn_dim = (
+        jnp.asarray(st["Pn_base"], dtype)[None]
+        + jnp.einsum("am,mkl->akl", tdiag, jnp.asarray(st["T_term"], dtype))
+    )  # [A, K, K]
+    diag_blk = (
+        Pn_dim
+        + jnp.asarray(st["G_stat"], dtype)[None]
+        + cfg.sigma * jnp.eye(K, dtype=dtype)[None]
+    )
+    S_lsc = jnp.einsum(
+        "aomd,aome->amde", inputs.lsc_normals, inputs.lsc_normals
+    )  # [A, M, dim, dim]
+    G_lsc = (cfg.rho * _RHO_SCALE["lsc"]) * jnp.einsum(
+        "amde,mkl->adkel", S_lsc, jnp.asarray(st["T_lsc"], dtype)
+    )  # [A, dim, K, dim, K]
+    Kmat = G_lsc.at[:, jnp.arange(dim), :, jnp.arange(dim), :].add(
+        jnp.broadcast_to(diag_blk[:, None], (A, dim, K, K)).transpose(1, 0, 2, 3)
+    ).reshape(A, dim * K, dim * K)
+    chol = jnp.linalg.cholesky(Kmat)
+    eye_dk = jnp.broadcast_to(jnp.eye(dim * K, dtype=dtype), Kmat.shape)
+    Kinv = jax.scipy.linalg.cho_solve((chol, True), eye_dk)  # [A, dk, dk]
 
-    xi0 = lower(inp_leaf.x0).reshape(-1)
-    z0 = An @ xi0
-    y0 = jnp.zeros_like(z0)
+    # ---- reduced operators (GEMM-shaped: batch is the GEMM dimension) --
+    An_stat = jnp.asarray(st["An_stat"], dtype)  # [R_stat, dim·K]
+    N3 = jnp.asarray(st["N3"], dtype)  # [M, N, K]
+    normals = inputs.lsc_normals  # [A, O, M, dim]
+    R_lsc = cfg.n_obs * M * N
+
+    def fwd(xi):  # ξ [A, dim, K] → rows [A, R] (pin offset excluded)
+        c = jnp.einsum("aomd,adk->aomk", normals, xi)
+        r_lsc = jnp.einsum("mik,aomk->aomi", N3, c).reshape(A, -1)
+        r_stat = xi.reshape(A, -1) @ An_stat.T
+        return jnp.concatenate([r_lsc, r_stat], axis=-1)
+
+    def adj(w):  # rows cotangent [A, R] → ξ-space [A, dim, K]
+        wl = w[:, :R_lsc].reshape(A, cfg.n_obs, M, N)
+        t = jnp.einsum("mik,aomi->aomk", N3, wl)
+        g_lsc = jnp.einsum("aomd,aomk->adk", normals, t)
+        g_stat = (w[:, R_lsc:] @ An_stat).reshape(A, dim, K)
+        return g_lsc + g_stat
+
+    # residual row scale (matches the caller's feasibility gate)
+    half_range = 0.5 * (u - l)
+    scale = jnp.clip(6.0 * half_range, 0.02, 1.0)
+
+    xi0 = jnp.einsum(
+        "vk,adv->adk", N_null, inputs.x0.reshape(A, dim, MN) - xpart
+    )
+    z0 = fwd(xi0)
+    y0 = jnp.zeros_like(z0) if inputs.y0 is None else inputs.y0.astype(dtype)
 
     eps_rel = 1e-3
+    stop_tol = 0.6 * feas_tol
+    CHUNK = 8
+    n_chunks = max(1, -(-cfg.max_iter // CHUNK))
 
-    def step(state):
-        xi, z, y, it, _ = state
-        rhs = cfg.sigma * xi - qn + An.T @ (rho * z - y)
-        xi_t = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        z_t = An @ xi_t
+    def one_iter(carry, _):
+        xi, z, y, Ax = carry
+        rhs = cfg.sigma * xi - qn + adj(rho * z - y)
+        xi_t = jnp.einsum(
+            "aij,aj->ai", Kinv, rhs.reshape(A, -1)
+        ).reshape(A, dim, K)
+        z_t = fwd(xi_t)
         xi_n = cfg.alpha * xi_t + (1 - cfg.alpha) * xi
         z_mix = cfg.alpha * z_t + (1 - cfg.alpha) * z
         z_n = jnp.clip(z_mix + y / rho, ln, un)
         y_n = y + rho * (z_mix - z_n)
+        # A·ξ of the actual iterate, carried to avoid a second fwd pass
+        Ax_n = cfg.alpha * z_t + (1 - cfg.alpha) * Ax
+        return (xi_n, z_n, y_n, Ax_n), None
 
-        Axn = An @ xi_n
-        rp = jnp.max(jnp.abs(Axn - z_n))
-        eps_p = cfg.eps_abs + eps_rel * jnp.maximum(
-            jnp.max(jnp.abs(Axn)), jnp.max(jnp.abs(z_n))
+    def chunk_step(state):
+        xi, z, y, Ax, ck, itdone, best_obj, noimp, _ = state
+        xi_prev = xi
+        (xi, z, y, Ax), _ = jax.lax.scan(
+            one_iter, (xi, z, y, Ax), None, length=CHUNK, unroll=CHUNK
         )
-        Px = Pn @ xi_n
-        Aty = An.T @ y_n
-        rd = jnp.max(jnp.abs(Px + qn + Aty))
-        eps_d = cfg.eps_abs + eps_rel * jnp.maximum(
-            jnp.max(jnp.abs(Px)),
-            jnp.maximum(jnp.max(jnp.abs(Aty)), jnp.max(jnp.abs(qn))),
+        it = (ck + 1) * CHUNK
+        # per-agent feasibility of the actual iterate (row-scaled)
+        viol = jnp.maximum(jnp.maximum(ln - Ax, Ax - un), 0.0)
+        feas = jnp.max(viol / scale, axis=-1) < stop_tol
+        # dual residual, relative
+        Px = jnp.einsum("akl,adl->adk", Pn_dim, xi)
+        Aty = adj(y)
+        rd = jnp.max(jnp.abs(Px + qn + Aty).reshape(A, -1), axis=-1)
+        dmag = jnp.maximum(
+            jnp.max(jnp.abs(Px).reshape(A, -1), axis=-1),
+            jnp.maximum(
+                jnp.max(jnp.abs(Aty).reshape(A, -1), axis=-1),
+                jnp.max(jnp.abs(qn).reshape(A, -1), axis=-1),
+            ),
         )
-        done = (rp < eps_p) & (rd < eps_d)
-        return xi_n, z_n, y_n, it + 1, done
+        opt = rd < cfg.eps_abs + eps_rel * dmag
+        # f32 stall: the iterate stopped moving across the whole chunk
+        dxi = jnp.max(jnp.abs(xi - xi_prev).reshape(A, -1), axis=-1)
+        ximag = jnp.maximum(1.0, jnp.max(jnp.abs(xi).reshape(A, -1), axis=-1))
+        stalled = dxi < 1e-4 * ximag
+        # monotone best-objective patience (robust to ADMM oscillation):
+        # a feasible agent whose best objective hasn't improved for two
+        # consecutive chunks has nothing measurable left to gain
+        obj_now = jnp.einsum("adk,adk->a", 0.5 * Px + qn, xi)
+        improved = obj_now < best_obj - 2e-4 * jnp.maximum(1.0, jnp.abs(obj_now))
+        best_obj = jnp.where(feas & improved, obj_now, best_obj)
+        noimp = jnp.where(feas & ~improved, noimp + 1, jnp.int32(0))
+        done_a = feas & (opt | stalled | (noimp >= 2))
+        itdone = jnp.where(
+            done_a & (itdone == cfg.max_iter), jnp.int32(it), itdone
+        )
+        return (
+            xi, z, y, Ax, ck + 1, itdone, best_obj, noimp, jnp.all(done_a)
+        )
 
     def cond(state):
-        _, _, _, it, done = state
-        return (it < cfg.max_iter) & jnp.logical_not(done)
+        ck, all_done = state[4], state[8]
+        return (ck < n_chunks) & jnp.logical_not(all_done)
 
-    state = (xi0, z0, y0, jnp.int32(0), jnp.asarray(False))
-    xi, z, y, iters, _ = jax.lax.while_loop(cond, step, state)
-
-    x = lift(xi.reshape(cfg.dim, Kdim))
-    Ax = An @ xi.reshape(-1) + b_off
-    viol = jnp.maximum(jnp.maximum(l - Ax, Ax - u), 0.0)
-    # row-scaled residual: two-sided rows with tiny feasible ranges (the
-    # raw acceleration caps are ~4e-3) are measured relative to their
-    # half-range so the feasibility tolerance can't hide >100% dynamic
-    # violations; wide/one-sided rows stay absolute
-    half_range = 0.5 * (u - l)
-    # tolerance ≈ feas_tol·scale per row: ~3% of cap on narrow dynamics
-    # rows (inside the 5% cap buffer), 5 mm absolute on wide/one-sided
-    scale = jnp.clip(6.0 * half_range, 0.02, 1.0)
-    primal_res = jnp.max(viol / scale)
-
-    xf = x.reshape(cfg.dim, -1)
-    obj = 0.5 * jnp.einsum("dv,vw,dw->", xf, P_dim, xf) + jnp.sum(
-        q.reshape(cfg.dim, -1) * xf
+    never = jnp.full((A,), cfg.max_iter, jnp.int32)
+    state = (
+        xi0, z0, y0, z0, jnp.int32(0), never,
+        jnp.full((A,), jnp.inf, dtype), jnp.zeros((A,), jnp.int32),
+        jnp.asarray(False),
     )
-    return x, primal_res, iters, obj
+    xi, z, y, _, ck_f, itdone, _, _, _ = jax.lax.while_loop(
+        cond, chunk_step, state
+    )
+    iters = ck_f * CHUNK
 
+    x = (
+        jnp.einsum("vk,adk->adv", N_null, xi) + xpart
+    ).reshape(A, dim, M, N)
+    Ax = fwd(xi) + b_off
+    viol = jnp.maximum(jnp.maximum(l - Ax, Ax - u), 0.0)
+    primal_res = jnp.max(viol / scale, axis=-1)
 
-def solve(cfg: QPConfig, inputs: QPInputs, feas_tol: float = 5e-3) -> QPResult:
-    """Solve all agents' QPs in one batched call."""
-    x, primal, iters, obj = jax.vmap(lambda leaf: solve_single(cfg, leaf))(inputs)
-    converged = primal < feas_tol
+    xf = x.reshape(A, dim, MN)
+    obj = (
+        0.5 * jnp.einsum("adv,vw,adw->a", xf, P_base, xf)
+        + 0.5 * jnp.einsum("adv,adv->a", tvec * xf, xf)
+        + jnp.einsum("adv,adv->a", qflat, xf)
+    )
     return QPResult(
         x=x,
-        converged=converged,
-        primal_residual=primal,
-        iterations=iters,
+        converged=primal_res < feas_tol,
+        primal_residual=primal_res,
+        iterations=jnp.minimum(itdone, iters),
         objective=obj,
+        z=z,
+        y=y,
     )
