@@ -105,7 +105,15 @@ def main():
     from lsc_dr_planner_tpu.ops import qp
 
     A = 1024
-    cfg, inp = build_workload(A)
+    # Build the workload on the host CPU backend: eager op dispatch over
+    # the axon tunnel pays a remote compile per distinct op, which turns
+    # the (numerically trivial) setup into minutes. The benchmarked solve
+    # itself is one jitted program on the TPU.
+    dev = jax.devices()[0]
+    with jax.default_device(jax.devices("cpu")[0]):
+        cfg, inp = build_workload(A)
+        inp = jax.tree_util.tree_map(lambda x: np.asarray(x), inp)
+    inp = jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), inp)
     solve = jax.jit(lambda i: qp.solve(cfg, i))
 
     out = solve(inp)  # compile + cold solve

@@ -180,6 +180,94 @@ def derivative_matrix(n: int, dt: float) -> np.ndarray:
     return D
 
 
+def min_distance_between_curves(
+    rel_ctrl: jnp.ndarray, n_grid: int = 64, n_bisect: int = 30
+):
+    """Closest approach of two same-degree Bézier curves over t ∈ [0, 1],
+    computed from the relative control points `rel_ctrl` [..., n+1, D].
+    Returns (distance [...], closest_point [..., D]) with the closest
+    point expressed in the relative frame.
+
+    Reference: distanceBetweenPolys + realRootIsolation,
+    include/polynomial.hpp:109-279 — Descartes-rule bisection queue
+    isolating the real roots of g = f·f′ (f(t) = rel(t), g scalar of
+    degree 2n−1), bisection refinement of each negative→positive
+    crossing (a local minimum of ‖f‖²), then the closest of those
+    candidates, falling back to the nearer endpoint when no interior
+    minimum exists.
+
+    TPU-native design: the dynamic isolation queue becomes a static
+    sign-change scan of g over a fixed n_grid-cell grid (g has ≤ 2n−1
+    real roots; 64 cells isolate any minima separated by > 1/64 of the
+    segment), each cell refined by fixed-count branch-free bisection and
+    reduced with a masked min — identical candidate set, static shapes,
+    no data-dependent control flow, batched over any leading axes.
+    """
+    rel_ctrl = jnp.asarray(rel_ctrl)
+    n = rel_ctrl.shape[-2] - 1
+    dtype = rel_ctrl.dtype
+    B = jnp.asarray(basis_matrix(n), dtype)  # [n+1, n+1]
+
+    # monomial coefficients of f and f': coef[..., j, D]
+    coef = jnp.einsum("...id,ij->...jd", rel_ctrl, B)
+    j = jnp.arange(1, n + 1, dtype=dtype)
+    dcoef = coef[..., 1:, :] * j[:, None]  # [..., n, D]
+
+    # g = f · f' — polynomial product summed over the spatial dimension:
+    # g_k = Σ_{j0+j1=k} coef[j0]·dcoef[j1], degree 2n−1 (2n coefficients)
+    deg_g = 2 * n - 1
+    batch = rel_ctrl.shape[:-2]
+    g = jnp.zeros(batch + (deg_g + 1,), dtype)
+    for j0 in range(n + 1):
+        for j1 in range(n):
+            g = g.at[..., j0 + j1].add(
+                jnp.sum(coef[..., j0, :] * dcoef[..., j1, :], axis=-1)
+            )
+
+    def eval_poly(c, t):
+        # Horner over the last coefficient axis; t broadcast against batch
+        out = c[..., -1]
+        for k in range(c.shape[-1] - 2, -1, -1):
+            out = out * t + c[..., k]
+        return out
+
+    # sign-change scan: cells [s, s+1]/n_grid with g(a) < 0 < g(b)
+    ts = jnp.linspace(0.0, 1.0, n_grid + 1, dtype=dtype)
+    gs = eval_poly(g[..., None, :], ts)  # [..., n_grid+1]
+    has_min = (gs[..., :-1] < 0) & (gs[..., 1:] > 0)  # [..., n_grid]
+
+    a = jnp.broadcast_to(ts[:-1], batch + (n_grid,)).astype(dtype)
+    b = jnp.broadcast_to(ts[1:], batch + (n_grid,)).astype(dtype)
+    g_cell = g[..., None, :]  # broadcast coefficients against the cell axis
+    for _ in range(n_bisect):
+        m = 0.5 * (a + b)
+        gm = eval_poly(g_cell, m)
+        a = jnp.where(gm < 0, m, a)
+        b = jnp.where(gm < 0, b, m)
+    t_cand = 0.5 * (a + b)  # [..., n_grid]
+
+    # candidate points on the relative curve
+    basis = bernstein_basis(n, t_cand)  # [..., n_grid, n+1]
+    p_cand = jnp.einsum("...si,...id->...sd", basis, rel_ctrl)
+    d_cand = jnp.linalg.norm(p_cand, axis=-1)
+    d_cand = jnp.where(has_min, d_cand, jnp.inf)
+    best = jnp.argmin(d_cand, axis=-1)
+    d_int = jnp.take_along_axis(d_cand, best[..., None], -1)[..., 0]
+    p_int = jnp.take_along_axis(p_cand, best[..., None, None], -2)[..., 0, :]
+
+    # endpoint fallback (reference: the nearer endpoint when no interior
+    # local minimum was isolated, polynomial.hpp:262-272)
+    p0, p1 = rel_ctrl[..., 0, :], rel_ctrl[..., n, :]
+    d0, d1 = jnp.linalg.norm(p0, axis=-1), jnp.linalg.norm(p1, axis=-1)
+    p_end = jnp.where((d0 < d1)[..., None], p0, p1)
+    d_end = jnp.minimum(d0, d1)
+
+    any_int = jnp.any(has_min, axis=-1)
+    dist = jnp.where(any_int, d_int, d_end)
+    point = jnp.where(any_int[..., None], p_int, p_end)
+    return dist, point
+
+
 @functools.lru_cache(maxsize=None)
 def uncertainty_growth_ctrl(n: int, dt: float, max_acc: float, m: int) -> np.ndarray:
     """Control points (degree n) of the per-segment radius-growth polynomial

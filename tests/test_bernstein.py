@@ -146,3 +146,53 @@ def test_uncertainty_growth_ctrl_matches_polynomial():
         val = sum(c[i] * _bernstein_ref(n, i, tau) for i in range(n + 1))
         t = (m + tau) * dt
         np.testing.assert_allclose(val, 0.5 * amax * t * t, atol=1e-9)
+
+
+def test_min_distance_between_curves_matches_bruteforce():
+    """Batched curve–curve closest approach vs dense sampling.
+
+    Reference semantics (distanceBetweenPolys, polynomial.hpp:176-279):
+    interior local minima of ‖rel(t)‖ isolated from g = f·f′ sign
+    changes; nearer endpoint when no interior minimum exists.
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n, B = 5, 64
+    ca = rng.normal(0, 2.0, (B, n + 1, 3))
+    cb = rng.normal(0, 2.0, (B, n + 1, 3))
+    rel = jnp.asarray(ca - cb)
+
+    dist, point = bernstein.min_distance_between_curves(rel)
+    dist = np.asarray(dist)
+    point = np.asarray(point)
+
+    # brute force on a fine grid
+    ts = np.linspace(0, 1, 4001)
+    basis = np.asarray(bernstein.bernstein_basis(n, ts))  # [T, n+1]
+    vals = np.einsum("ti,bid->btd", basis, ca - cb)
+    d_all = np.linalg.norm(vals, axis=-1)  # [B, T]
+    d_min = d_all.min(axis=1)
+
+    # interior-minimum cases must match the global interior/endpoint
+    # structure: the kernel's value is a true local minimum or endpoint,
+    # and when the global min is interior it must be found
+    interior = (d_all.argmin(axis=1) > 0) & (d_all.argmin(axis=1) < len(ts) - 1)
+    np.testing.assert_allclose(dist[interior], d_min[interior], rtol=5e-3, atol=5e-4)
+    # returned point is on the curve at the returned distance
+    np.testing.assert_allclose(np.linalg.norm(point, axis=-1), dist, rtol=1e-5, atol=1e-6)
+    # never below the true minimum
+    assert (dist >= d_min - 1e-4).all()
+
+
+def test_min_distance_between_curves_endpoint_fallback():
+    """Monotonically separating curves: min is at t=0 (reference picks the
+    nearer endpoint when no interior g<0→g>0 crossing exists)."""
+    import jax.numpy as jnp
+
+    n = 5
+    # relative curve moving straight away from the origin
+    rel = np.linspace(1.0, 3.0, n + 1)[:, None] * np.array([1.0, 0.0, 0.0])
+    dist, point = bernstein.min_distance_between_curves(jnp.asarray(rel[None]))
+    np.testing.assert_allclose(np.asarray(dist)[0], 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(point)[0], [1.0, 0.0, 0.0], atol=1e-5)
