@@ -114,6 +114,14 @@ class Param:
     slack_mode: SlackMode = SlackMode.NONE
     goal_mode: GoalMode = GoalMode.GRID_BASED_PLANNER
     mapf_mode: MAPFMode = MAPFMode.PIBT
+    # Committed-plan layer (TPU redesign, sim/simulator.py): solve the
+    # joint plan with bounded ECBS first — conflict-optimal paths execute
+    # cleanly under order-preserving MCP, where PIBT's
+    # priority-inheritance dithering (agents shuttled back and forth)
+    # would be walked verbatim. Falls back to `mapf_mode`'s solver when
+    # ECBS fails/exceeds budget or the group is larger than the cap.
+    mapf_commit_ecbs: bool = True
+    mapf_ecbs_max_agents: int = 16
 
     # Obstacle prediction
     obs_size_prediction: bool = True

@@ -1,14 +1,12 @@
 """ECBS — Enhanced Conflict-Based Search (w-suboptimal MAPF solver).
 
-Algorithmic parity with the vendored mapf-IR ECBS (the low-level
-two-queue OPEN/FOCAL search is approximated by a single f1-first heap
-with conflict-count tie-breaking — same admissible cost, same
-constraint semantics). Reference:
-src/mapf/ecbs.cpp — high-level OPEN/FOCAL loop :12-110, initial
-prioritized paths :132-180, invoke/replan :183-206, low-level focal
-space-time A* :208-394; first-conflict constraint extraction:
-src/mapf/lib_cbs.cpp:18-49). Sub-optimality factor w = 2.0
-(ecbs.cpp:5).
+True two-queue OPEN/FOCAL focal search at both levels, matching the
+vendored mapf-IR ECBS. Reference: src/mapf/ecbs.cpp — high-level
+OPEN (by LB) / FOCAL (by conflicts, soc) with rebuild-on-LB-change
+:12-110, initial prioritized paths :132-180, invoke/replan :183-206,
+low-level focal space-time A* with OPEN (by f1) / FOCAL (by f2, f1, −g)
+:208-394; first-conflict constraint extraction:
+src/mapf/lib_cbs.cpp:18-49. Sub-optimality factor w = 2.0 (ecbs.cpp:5).
 
 Host-side numpy/python — the coarse grids are tiny and ECBS runs per
 communication group once per planning step.
@@ -18,7 +16,7 @@ from __future__ import annotations
 
 import heapq
 import itertools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -122,11 +120,20 @@ def solve_ecbs(
     goals: Sequence[Cell],
     sub_optimality: float = SUB_OPTIMALITY,
     max_hl_nodes: int = 5000,
-) -> Optional[List[List[Cell]]]:
+    return_lb: bool = False,
+    time_limit_s: float = 10.0,
+):
     """Run ECBS from the current config; returns per-agent paths
     `[current, cfg(1), …]` with the repeated prefix stripped (the
     simulator-side strip, grid_based_planner.cpp:355-373), or None.
+    With `return_lb`, returns `(paths, LB_min)` — the final high-level
+    lower bound certifying soc ≤ w·LB_min. `time_limit_s` mirrors the
+    reference's Solver::overCompTime wall-clock cutoff
+    (solver.hpp:24, checked in both search levels).
     """
+    import time as _time
+
+    deadline = _time.perf_counter() + time_limit_s
     n = len(currents)
     occ2d = np.asarray(occ2d, dtype=bool)
     currents = [tuple(c) for c in currents]
@@ -134,7 +141,7 @@ def solve_ecbs(
     dists = [bfs_distances(occ2d, goals[i]) for i in range(n)]
     for i in range(n):
         if not np.isfinite(dists[i][currents[i]]):
-            return None
+            return (None, 0) if return_lb else None
 
     X, Y = occ2d.shape
 
@@ -146,15 +153,17 @@ def solve_ecbs(
                 out.append(u)
         return out
 
-    # ---- initial prioritized paths (reference getInitialPath)
-    def initial_path(i: int, paths: List[Optional[List[Cell]]]) -> List[Cell]:
+    # ---- initial prioritized paths (reference getInitialPath :152-180)
+    def initial_path(i: int, paths: List[Optional[List[Cell]]]):
         s, g = currents[i], goals[i]
         ms = max((len(p) - 1 for p in paths if p), default=0)
         path = [s]
         p = s
         t = 1
         goal_cells = set(goals)
-        while p != g and len(path) < 4 * (X + Y) + 50:
+        while p != g:
+            if len(path) > 4 * (X + Y) + 50:
+                return None  # should not happen on reachable goals
             cands = neighbors(p)
 
             def key(a):
@@ -176,12 +185,14 @@ def solve_ecbs(
     f_mins = []
     for i in range(n):
         pth = initial_path(i, paths0)
+        if pth is None:
+            return (None, 0) if return_lb else None
         paths0[i] = pth
         f_mins.append(len(pth) - 1)
     root = _HLNode(paths0, [], _soc(paths0), _count_conflicts(paths0),
                    _soc(paths0), f_mins)
 
-    # ---- low-level focal space-time A* (reference getFocalPath)
+    # ---- low-level focal space-time A* (reference getFocalPath :208-394)
     def focal_path(node: _HLNode, aid: int):
         s, g = currents[aid], goals[aid]
         cons = [c for c in node.constraints if c[0] == aid]
@@ -190,8 +201,12 @@ def solve_ecbs(
         base_dist = dists[aid]
         others = [node.paths[j] for j in range(n) if j != aid]
         ms = _makespan(node.paths)
+        occ_t = {}  # (t, cell) -> True for t <= ms; parked config at ms
+        for pth in others:
+            for t in range(ms + 1):
+                occ_t[(t, _pad_get(pth, t))] = True
 
-        def f1(v, gcost):
+        def f1_of(v, gcost):
             h = base_dist[v]
             if not np.isfinite(h):
                 return None
@@ -200,90 +215,133 @@ def solve_ecbs(
                 f = max(max_con_t + 1, f)
             return f
 
-        def conflicts_at(v, pv, gcost):
-            # vertex / swap conflict count vs the other agents' paths at
-            # time gcost (reference f2Value, ecbs.cpp:243-261)
-            c = 0
-            for pth in others:
-                if _pad_get(pth, gcost) == v:
-                    c += 1
-                elif (
-                    gcost <= ms
-                    and _pad_get(pth, gcost) == pv
-                    and _pad_get(pth, gcost - 1) == v
-                ):
-                    c += 1
-            return c
+        def f2_step(v, pv, gcost):
+            """+1 if node (v, g) conflicts with any other path
+            (reference f2Value, ecbs.cpp:243-261): vertex at time g
+            (parked config beyond makespan), swap via occupancy."""
+            if gcost == 0:
+                return 0
+            if gcost > ms:
+                return 1 if occ_t.get((ms, v)) else 0
+            if occ_t.get((gcost, v)):
+                return 1
+            # swap: someone is at pv at time g and was at v at g−1
+            if occ_t.get((gcost, pv)) and occ_t.get((gcost - 1, v)):
+                for pth in others:
+                    if (_pad_get(pth, gcost) == pv
+                            and _pad_get(pth, gcost - 1) == v):
+                        return 1
+            return 0
 
-        start_f1 = f1(s, 0)
+        def violates(v, pv, gcost):
+            return any(
+                gcost == c[1] and v == c[2] and (c[3] is None or c[3] == pv)
+                for c in cons
+            )
+
+        start_f1 = f1_of(s, 0)
         if start_f1 is None:
             return None, 0
-        # Single heap ordered by (f1, f2, -g): an f1-first focal proxy of
-        # the reference's two-queue OPEN/FOCAL search — same w-bounded
-        # admissibility (f1 is the admissible cost), conflict count as the
-        # secondary key.
-        counter = itertools.count()
-        came: Dict[Tuple[Cell, int], Optional[Tuple[Cell, int]]] = {(s, 0): None}
-        f1_min = start_f1
+
+        # node store: idx -> (v, g, f1, f2, parent_idx)
+        nodes = [(s, 0, start_f1, 0, -1)]
+        tie = itertools.count()
+        OPEN = [(start_f1, next(tie), 0)]  # (f1, tie, idx)
+        FOCAL = [(0, start_f1, 0, next(tie), 0)]  # (f2, f1, −g, tie, idx)
         CLOSE = set()
-        heap = [(start_f1, 0, 0, next(counter), s, 0, None)]
-        result = None
+        f1_min = start_f1
+        goal_idx = -1
         expansions = 0
         limit = 200000
-        while heap and expansions < limit:
-            f1v, f2v, _negg, _, v, gcost, parent = heapq.heappop(heap)
+
+        while OPEN and expansions < limit:
+            if expansions % 256 == 0 and _time.perf_counter() > deadline:
+                return None, 0
+            # drop CLOSEd entries from OPEN's top
+            while OPEN and (nodes[OPEN[0][2]][0], nodes[OPEN[0][2]][1]) in CLOSE:
+                heapq.heappop(OPEN)
+            if not OPEN:
+                break
+            # rebuild FOCAL when the lower bound advances (ecbs.cpp:334-352)
+            if f1_min != OPEN[0][0] or not FOCAL:
+                f1_min = OPEN[0][0]
+                bound = f1_min * sub_optimality
+                FOCAL = []
+                for (f1v, tv, idx) in OPEN:
+                    v, gc, _f1, f2v, _p = nodes[idx]
+                    if (v, gc) in CLOSE or f1v > bound:
+                        continue
+                    FOCAL.append((f2v, f1v, -gc, tv, idx))
+                heapq.heapify(FOCAL)
+                if not FOCAL:
+                    break
+
+            f2v, f1v, neg_g, _tv, idx = heapq.heappop(FOCAL)
+            v, gcost, _f1, _f2, _p = nodes[idx]
             if (v, gcost) in CLOSE:
                 continue
             CLOSE.add((v, gcost))
-            came[(v, gcost)] = parent
             expansions += 1
+
             if v == g and gcost > max_con_t:
-                result = (v, gcost)
-                f1_min = min(f1_min, f1v)
+                goal_idx = idx
                 break
+
             for u in neighbors(v) + [v]:
                 ng = gcost + 1
                 if (u, ng) in CLOSE:
                     continue
-                if any(
-                    ng == c[1] and u == c[2] and (c[3] is None or c[3] == v)
-                    for c in cons
-                ):
+                if violates(u, v, ng):
                     continue
-                nf1 = f1(u, ng)
+                nf1 = f1_of(u, ng)
                 if nf1 is None:
                     continue
-                nf2 = f2v + conflicts_at(u, v, ng)
-                heapq.heappush(
-                    heap, (nf1, nf2, -ng, next(counter), u, ng, (v, gcost))
-                )
+                nf2 = f2v + f2_step(u, v, ng)
+                nodes.append((u, ng, nf1, nf2, idx))
+                nidx = len(nodes) - 1
+                heapq.heappush(OPEN, (nf1, next(tie), nidx))
+                if nf1 <= f1_min * sub_optimality:
+                    heapq.heappush(FOCAL, (nf2, nf1, -ng, next(tie), nidx))
 
-        if result is None:
+        if goal_idx < 0:
             return None, 0
-        # reconstruct
         path = []
-        cur = result
-        while cur is not None:
-            path.append(cur[0])
-            cur = came[cur]
+        cur = goal_idx
+        while cur >= 0:
+            path.append(nodes[cur][0])
+            cur = nodes[cur][4]
         path.reverse()
-        return path, int(min(f1_min, len(path) - 1))
+        return path, int(f1_min)
 
-    # ---- high-level search
-    counter = itertools.count()
-    OPEN = [(root.LB, next(counter), root)]
+    # ---- high-level two-queue search (ecbs.cpp:12-110)
+    tie = itertools.count()
+    OPEN = [(root.LB, next(tie), root)]
+    FOCAL = [(root.f, root.soc, next(tie), root)]
+    LB_min = root.LB
     solved_node = None
     explored = 0
     while OPEN and explored < max_hl_nodes:
-        # focal selection: among nodes with LB <= LB_min * w, min conflicts
+        if _time.perf_counter() > deadline:
+            break
         while OPEN and not OPEN[0][2].valid:
             heapq.heappop(OPEN)
         if not OPEN:
             break
-        LB_min = OPEN[0][0]
-        bound = LB_min * sub_optimality
-        focal = [e for e in OPEN if e[2].valid and e[0] <= bound]
-        node = min(focal, key=lambda e: (e[2].f, e[2].soc))[2]
+        # rebuild FOCAL when the global lower bound advances (:48-73)
+        if LB_min != OPEN[0][0] or not FOCAL:
+            LB_min = OPEN[0][0]
+            bound = LB_min * sub_optimality
+            FOCAL = [
+                (e[2].f, e[2].soc, e[1], e[2])
+                for e in OPEN
+                if e[2].valid and e[0] <= bound
+            ]
+            heapq.heapify(FOCAL)
+            if not FOCAL:
+                break
+        node = heapq.heappop(FOCAL)[3]
+        if not node.valid:
+            continue
         node.valid = False
         explored += 1
 
@@ -306,10 +364,12 @@ def solve_ecbs(
             m.soc = _soc(m.paths)
             m.LB = m.LB - m.f_mins[aid] + f_min
             m.f_mins[aid] = f_min
-            heapq.heappush(OPEN, (m.LB, next(counter), m))
+            heapq.heappush(OPEN, (m.LB, next(tie), m))
+            if m.LB <= LB_min * sub_optimality:
+                heapq.heappush(FOCAL, (m.f, m.soc, next(tie), m))
 
     if solved_node is None:
-        return None
+        return (None, LB_min) if return_lb else None
 
     ms = _makespan(solved_node.paths)
     paths = [
@@ -323,4 +383,4 @@ def solve_ecbs(
             repeated = t
     for i in range(n):
         del paths[i][:repeated]
-    return paths
+    return (paths, LB_min) if return_lb else paths

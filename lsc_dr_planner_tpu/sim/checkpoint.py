@@ -20,21 +20,21 @@ import pickle
 
 import numpy as np
 
-_VERSION = 1
+_VERSION = 2
 
 # mutable ndarray attributes copied verbatim
 _ARRAY_FIELDS = (
     "pos", "vel", "acc", "start_point", "desired_goal", "current_goal",
     "next_waypoint", "prev_ctrl", "desired_ctrl", "has_prev",
-    "sfc_lo", "sfc_hi", "sfc_initialized", "mapf_elapsed",
-    "_dist_best", "_no_progress", "vel_excess_ratio", "acc_excess_ratio",
+    "sfc_lo", "sfc_hi", "sfc_initialized",
+    "_pin_steps", "_last_pos", "vel_excess_ratio", "acc_excess_ratio",
 )
 
 # plain scalar attributes
 _SCALAR_FIELDS = (
     "planner_seq", "sim_time", "safety_ratio_agent", "safety_ratio_obs",
     "total_flight_time", "is_collided", "qp_failed",
-    "_yield_agent", "_yield_hold", "_coarse_version",
+    "_coarse_version",
 )
 
 
@@ -48,7 +48,7 @@ def save_checkpoint(sim, path: str) -> None:
         "scalars": {k: getattr(sim, k) for k in _SCALAR_FIELDS},
         "planner_state": sim.planner_state.name,
         "group_plans": sim._group_plans,
-        "pos_history": [h.copy() for h in sim._pos_history],
+        "events": sim.events,
         "planning_time": sim.planning_time,
         "traj_history": sim.traj_history,
         "sim_csv_rows": sim._sim_csv_rows,
@@ -88,7 +88,7 @@ def load_checkpoint(sim, path: str) -> None:
         setattr(sim, k, v)
     sim.planner_state = PlannerState[aux["planner_state"]]
     sim._group_plans = aux["group_plans"]
-    sim._pos_history = aux["pos_history"]
+    sim.events = aux["events"]
     sim.planning_time = aux["planning_time"]
     sim.traj_history = aux["traj_history"]
     sim._sim_csv_rows = aux["sim_csv_rows"]

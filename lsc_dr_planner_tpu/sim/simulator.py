@@ -160,13 +160,17 @@ class MultiSyncSimulator:
         self.sfc_hi = np.zeros((self.A, p.M, 3), np.int32)
         self.sfc_initialized = np.zeros(self.A, bool)
         self.planner_seq = 0
-        self._pos_history: List[np.ndarray] = []
         self._group_plans = {}
-        self.mapf_elapsed = np.zeros(self.A, dtype=np.int64)
-        self._dist_best = np.full(self.A, np.inf)
-        self._no_progress = np.zeros(self.A, dtype=int)
-        self._yield_agent = -1
-        self._yield_hold = 0
+        # margined-grid viability cache: after repeated MAPF failures on
+        # the margined grid (static per coarse version), commits go
+        # straight to the margin-free grid
+        self._margined_fails = 0
+        # waypoint-layer event log: (planner_seq, event, detail) — cheap,
+        # bounded; surfaces stall resets / yields / plan commits for
+        # debugging and the regression tests
+        self.events: List[tuple] = []
+        self._pin_steps = np.zeros(self.A, dtype=int)
+        self._last_pos = self.pos.copy()
         self.planner_state = (
             PlannerState.PATROL if p.multisim_patrol else PlannerState.GOTO
         )
@@ -319,76 +323,55 @@ class MultiSyncSimulator:
         if self.local_maps and self.map_manager.version() != self._coarse_version:
             self._rebuild_coarse_from_known()
 
-        # stall recovery: if the fleet hasn't physically moved for a while,
-        # re-sync the virtual waypoint state to the physical positions and
-        # drop committed plans (anytime-recovery analog of the reference's
-        # disturbance reset, traj_planner.cpp:312-319)
-        # Two stall detectors:
-        #  (a) displacement: net motion below threshold over a short
-        #      window → global re-sync of the stalled agents' waypoints
-        #      to their physical positions (fixes virtual/physical
-        #      divergence knots)
-        #  (b) progress: no reduction of distance-to-goal over a LONG
-        #      window (catches churning limit cycles that keep moving) →
-        #      same re-sync plus a yield escalation: one knot member
-        #      steps to a physical escape cell
-        WINDOW_D, THRESH_D = 15, 0.05
-        WINDOW_P, IMPROVE = 75, 0.05
-        d = np.linalg.norm(self.pos - self.desired_goal, axis=-1)
-        at_goal = d < p.goal_threshold
+        EPS = 1e-5  # SP_EPSILON_FLOAT (reference sp_const.hpp:4)
 
-        self._pos_history.append(self.pos.copy())
-        if len(self._pos_history) > WINDOW_D + 1:
-            self._pos_history.pop(0)
-        stalled_d = np.zeros(self.A, dtype=bool)
-        if len(self._pos_history) > WINDOW_D:
-            net = np.linalg.norm(self.pos - self._pos_history[0], axis=-1)
-            stalled_d = (net < THRESH_D) & ~at_goal
-
-        rebase = d > self._dist_best + 1.0
-        self._dist_best = np.where(rebase, d, self._dist_best)
-        improved = d < self._dist_best - IMPROVE
-        self._dist_best = np.minimum(self._dist_best, d)
-        self._no_progress = np.where(improved, 0, self._no_progress + 1)
-        stalled_p = (self._no_progress >= WINDOW_P) & ~at_goal
-
-        if stalled_d.any() or stalled_p.any():
-            ids = np.nonzero(stalled_d | stalled_p)[0]
-            self._pos_history.clear()
-            # re-sync a stalled agent's waypoint to its body's CELL
-            # CENTER (waypoints must stay on the grid: off-grid waypoints
-            # would let two waypoints share a cell — an invalid MAPF
-            # config). Skip if another agent's waypoint holds that cell.
+        # --- waypoint RETREAT: targeted virtual→physical re-sync ----------
+        # The virtual waypoint config can diverge from the physical fleet:
+        # a goal LP gets pinned short of its waypoint (contact-tight CLSC
+        # when two crossing bodies meet mid-transit) while the body stops,
+        # yet the MAPF layer keeps planning from the fictional waypoint
+        # cell. Detect exactly that — goal LP not converged AND body
+        # stationary for RETREAT_K consecutive steps — and pull the
+        # agent's waypoint back to its body's actual cell (if no other
+        # waypoint holds it). The memo key contains the config, so the
+        # next solve re-plans from physically-true state and the knot
+        # dissolves. This replaces the earlier blanket stall resets/yield
+        # escalation, which thrashed healthy plans.
+        RETREAT_K = 20
+        moved = np.linalg.norm(self.pos - self._last_pos, axis=-1) > 0.02
+        self._last_pos = self.pos.copy()
+        diverged = (
+            np.linalg.norm(self.current_goal - self.next_waypoint, axis=-1)
+            > EPS
+        )
+        self._pin_steps = np.where(diverged & ~moved, self._pin_steps + 1, 0)
+        pinned = np.nonzero(self._pin_steps >= RETREAT_K)[0]
+        if len(pinned):
             wp_cells = {
-                tuple(self.coarse.point_to_node(self.next_waypoint[j])[:2])
+                tuple(self.coarse.point_to_node(self.next_waypoint[j])[:2]): j
                 for j in range(self.A)
             }
-            for i in ids:
+            for i in pinned:
+                self._pin_steps[i] = 0
                 cell = self.coarse.point_to_node(self.pos[i])
                 cell[2] = 0
                 key = tuple(cell[:2])
+                holder = wp_cells.get(key)
+                if holder is not None and holder != i:
+                    continue  # another agent's waypoint holds our cell
                 mine = tuple(
                     self.coarse.point_to_node(self.next_waypoint[i])[:2]
                 )
-                if key != mine and key in wp_cells:
-                    continue
                 wpp = self.coarse.node_to_point(cell)
                 wpp[2] = (
                     self.pos[i][2] if p.world_dimension == 3 else p.world_z_2d
                 )
-                wp_cells.discard(mine)
-                wp_cells.add(key)
+                del wp_cells[mine]
+                wp_cells[key] = i
                 self.next_waypoint[i] = wpp
-            if stalled_p.any():
-                pids = np.nonzero(stalled_p)[0]
-                self._no_progress[pids] = 0
-                self._dist_best[pids] = d[pids]
-                self._yield_escape(pids)
+                self._log("retreat", (int(i), key))
 
         occ2d = self.coarse.occ2d().copy()
-        if self._yield_hold > 0:
-            self._yield_hold -= 1
-        seen_sigs = set()
         for group in self._groups():
             timer = Timer()
             cells_start = [tuple(self.coarse.point_to_node(self.start_point[i])[:2])
@@ -398,31 +381,31 @@ class MultiSyncSimulator:
             cells_goal = [tuple(self.coarse.point_to_node(self.desired_goal[i])[:2])
                           for i in group]
 
-            # --- committed joint plan + MCP execution ---------------------
-            # The reference re-solves MAPF from scratch every step and
-            # follows plan[1] verbatim (grid_based_planner.cpp:324-341,
-            # multi_sync_simulator.cpp:216-221). Under replanning-by-step
-            # that memoryless following can limit-cycle (two opposing
-            # streams in the 0.5 m dense-maze corridors orbit forever).
-            # Here each group COMMITS to one joint plan and executes it
-            # with the Minimal Communication Policy (MCP, Ma & Koenig's /
-            # Hönig et al.'s order-preserving MAPF execution): per cell,
-            # agents enter in exactly the plan's visit order, each move
-            # gated on goal-LP convergence. A valid joint plan executed
-            # order-preservingly cannot deadlock; the plan is re-solved
-            # only when the group, its goals, the grid, or the virtual
-            # config (stall resets, yields) change.
-            sig = (tuple(group), tuple(cells_goal), self._coarse_version)
-            seen_sigs.add(sig)
-            plan = self._group_plans.get(sig)
-            if plan is not None:
-                # desync (stall reset / yield moved a waypoint off-plan)?
-                for gi in range(len(group)):
-                    if plan["paths"][gi][plan["ptr"][gi]] != cells_cur[gi]:
-                        plan = None
-                        break
-
-            if plan is None:
+            # --- per-step MAPF, memoized by config ------------------------
+            # The reference re-solves MAPF from scratch every step, takes
+            # plan row 1 as each agent's desired waypoint, and vets
+            # updates so follow-chains advance in lockstep — candidates
+            # check other CANDIDATES' desired waypoints, not their current
+            # ones (multi_sync_simulator.cpp:214-291). Per-step re-solving
+            # is what makes the scheme robust: when continuous dynamics
+            # wedge an agent mid-transit, the next solve re-routes around
+            # it (a committed plan cannot — measured deadlocks in
+            # maze10_dense). Two TPU-build refinements:
+            #   1. the joint plan is solved with bounded ECBS first —
+            #      deterministic and SOC-minimal, so re-solves from a
+            #      partially-advanced config continue the same routing,
+            #      where the reference's PIBT (priority = distance-to-
+            #      goal) measurably flip-flops between symmetric routes
+            #      under partial execution;
+            #   2. solutions are memoized by the exact (group, config,
+            #      goals, grid) signature — when nothing moved, the
+            #      deterministic solver would return the identical plan,
+            #      so the solve is skipped entirely.
+            sig = (tuple(group), tuple(cells_cur), tuple(cells_goal),
+                   self._coarse_version)
+            if sig in self._group_plans:
+                paths = self._group_plans[sig]
+            else:
                 # unblock occupied current/goal cells
                 # (grid_based_planner.cpp:262-283)
                 occ_grp = occ2d.copy()
@@ -430,82 +413,125 @@ class MultiSyncSimulator:
                     occ_grp[c] = False
 
                 def solve(occ):
-                    if p.mapf_mode == MAPFMode.PIBT:
-                        return pibtmod.solve_pibt(
-                            occ, cells_start, cells_cur, cells_goal, seed=0,
-                            init_elapsed=[self.mapf_elapsed[i] for i in group],
-                        )
-                    return ecbsmod.solve_ecbs(
-                        occ, cells_start, cells_cur, cells_goal
+                    use_ecbs = p.mapf_mode == MAPFMode.ECBS or (
+                        p.mapf_commit_ecbs
+                        and len(group) <= p.mapf_ecbs_max_agents
                     )
+                    if use_ecbs:
+                        paths = ecbsmod.solve_ecbs(
+                            occ, cells_start, cells_cur, cells_goal,
+                            max_hl_nodes=5000, time_limit_s=2.0,
+                        )
+                        if paths is not None or p.mapf_mode == MAPFMode.ECBS:
+                            self._log("solve", ("ecbs", len(group),
+                                                paths is not None))
+                            return paths
+                        self._log("solve", ("ecbs_fail", len(group), False))
+                    paths = pibtmod.solve_pibt(
+                        occ, cells_start, cells_cur, cells_goal, seed=0,
+                    )
+                    self._log("solve", ("pibt", len(group),
+                                        paths is not None))
+                    return paths
 
-                paths = solve(occ_grp)
+                try_margined = self._margined_fails < 3
+                paths = solve(occ_grp) if try_margined else None
                 if paths is None and self.coarse_nomargin is not self.coarse:
                     # margin-free fallback (narrow corridors the margined
                     # grid blocks entirely)
+                    if try_margined:
+                        self._margined_fails += 1
                     occ_nm = self.coarse_nomargin.occ2d().copy()
                     for c in cells_cur + cells_goal:
                         occ_nm[c] = False
                     paths = solve(occ_nm)
-                if paths is not None:
-                    plan = self._commit_plan(group, cells_cur, paths)
-                    self._group_plans[sig] = plan
+                elif try_margined and paths is not None:
+                    self._margined_fails = 0
+                self._group_plans[sig] = paths
+                while len(self._group_plans) > 256:  # bounded memo
+                    self._group_plans.pop(next(iter(self._group_plans)))
             self.planning_time.mapf_time.update(timer.stop())
-            if plan is None:
+            if paths is None:
                 continue  # MAPF failed: keep previous waypoints (:295-297)
 
-            paths, ptr, visits = plan["paths"], plan["ptr"], plan["visits"]
-            T = len(paths[0])
+            # desired waypoint = plan row 1 (multi_sync_simulator.cpp:214-221)
+            n_grp = len(group)
+            desired_cells = []
+            desired_pts = []
             for gi, i in enumerate(group):
-                # fast-forward waits (order of per-cell visits is
-                # unaffected; MCP lets agents run ahead of the schedule
-                # as long as the order holds)
-                k = ptr[gi]
-                while k + 1 < T and paths[gi][k + 1] == paths[gi][k]:
-                    k += 1
-                ptr[gi] = k
-                if k + 1 >= T:
-                    continue  # plan finished → goal walk below
-                v = paths[gi][k + 1]
-
-                # MCP order gate: every earlier visit of v must be over
-                enabled = True
-                for (t_in, t_out, gj) in visits[v]:
-                    if t_in < k + 1 and ptr[gj] <= t_out:
-                        enabled = False
-                        break
-                if not enabled:
-                    continue
-                if i == self._yield_agent and self._yield_hold > 0:
-                    continue
-
+                v = paths[gi][min(1, len(paths[gi]) - 1)]
+                desired_cells.append((int(v[0]), int(v[1])))
                 wpp = self.coarse.node_to_point(np.array([v[0], v[1], 0]))
                 if p.world_dimension == 3:
                     # the MAPF layer is planar (the reference collapses z,
                     # problem.cpp:148-201); fly it at the goal altitude
                     wpp[2] = self.desired_goal[i][2]
+                desired_pts.append(wpp)
 
-                # communication-range reachability check (:217-252)
+            # candidate set (multi_sync_simulator.cpp:222-258):
+            # in comm range, desired CELL differs from the current
+            # waypoint's cell, and the goal LP has converged onto the
+            # current waypoint. (Cell-granular comparisons: the goal walk
+            # below legally moves a waypoint off the lattice inside its
+            # goal cell, so point equality — the reference's test, valid
+            # because its goals sit on the lattice — would misfire.)
+            cand = set()
+            for gi, i in enumerate(group):
+                if desired_cells[gi] == cells_cur[gi]:
+                    continue
                 if p.communication_range > 0:
+                    # desired waypoint must stay within half the comm
+                    # range of every segment start of the previous
+                    # trajectory (so the QP comm rows remain feasible)
                     pts = [self.desired_ctrl[i, m, 0] for m in range(p.M)]
                     pts.append(self.desired_ctrl[i, -1, -1])
                     if not self.has_prev[i]:
                         pts = [self.pos[i]]
                     if any(
-                        np.max(np.abs(wpp - q))
-                        > 0.5 * p.communication_range - 1e-6
+                        np.max(np.abs(desired_pts[gi] - q))
+                        > 0.5 * p.communication_range - EPS
                         for q in pts
                     ):
                         continue
-                # goal-convergence gate (:245-248): advance only once the
-                # goal LP has pulled the current goal onto the waypoint
+                # goal-LP convergence gate (:245-248). Exact, like the
+                # reference: advancing on a merely NEAR-converged LP was
+                # measured to pack bodies to contact distance (each agent
+                # chases a goal pinned ½(r_i+r_j) short of its waypoint,
+                # so spacing collapses to the collision margin and whole
+                # queues freeze). Mid-transit contact knots that the
+                # exact gate cannot clear are handled by the waypoint
+                # RETREAT above, not by loosening this gate.
                 if np.linalg.norm(
                     self.current_goal[i] - self.next_waypoint[i]
-                ) > 1e-6:
-                    continue
+                ) < EPS:
+                    cand.add(gi)
 
-                self.next_waypoint[i] = wpp
-                ptr[gi] = k + 1
+            # mutual-occupancy vetting (multi_sync_simulator.cpp:259-291):
+            # drop candidates whose desired cell coincides with another
+            # agent's NEXT waypoint cell — current for non-candidates,
+            # desired for candidates (so follow-chains advance in
+            # lockstep) — until a full pass is clean.
+            if n_grp > 1:
+                changed = True
+                while changed and cand:
+                    changed = False
+                    for gi in sorted(cand):
+                        for gj in range(n_grp):
+                            if gi == gj:
+                                continue
+                            cell_j = (
+                                desired_cells[gj] if gj in cand
+                                else cells_cur[gj]
+                            )
+                            if desired_cells[gi] == cell_j:
+                                cand.discard(gi)
+                                changed = True
+                                break
+                        if changed:
+                            break
+
+            for gi in cand:
+                self.next_waypoint[group[gi]] = desired_pts[gi]
 
             # Once the waypoint reaches the goal CELL, walk it to the
             # exact goal POINT one grid step at a time (bridges altitude
@@ -523,54 +549,7 @@ class MultiSyncSimulator:
                         -p.grid_resolution, p.grid_resolution,
                     )
                     self.next_waypoint[i] = self.next_waypoint[i] + delta
-                # persistent PIBT priority: agents stuck away from their
-                # goals accumulate priority for the NEXT solve (commit
-                # time), like in-plan PIBT elapsed (pibt.cpp:78)
-                self.mapf_elapsed[i] = (
-                    0 if at_goal else self.mapf_elapsed[i] + 1
-                )
 
-        # drop plans of groups that no longer exist
-        self._group_plans = {
-            s: v for s, v in self._group_plans.items() if s in seen_sigs
-        }
-
-    # ==================================================================
-    @staticmethod
-    def _commit_plan(group, cells_cur, paths):
-        """Normalize a fresh joint plan for MCP execution: per-agent cell
-        sequences starting at the current virtual config, padded to equal
-        length, plus per-cell visit intervals (t_in, t_out, agent index)
-        in plan order."""
-        n = len(group)
-        # Row 0 of a PIBT solution is the mission-start config
-        # (pibt.cpp:44) while rows 1.. evolve from the CURRENT config;
-        # replace row 0 with the current config JOINTLY so all agents
-        # share one timeline ([cur, cfg1, cfg2, …]). ECBS paths already
-        # start at the current config.
-        if all(len(paths[gi]) and paths[gi][0] == cells_cur[gi]
-               for gi in range(n)):
-            norm = [list(paths[gi]) for gi in range(n)]
-        else:
-            norm = [
-                [cells_cur[gi]] + list(paths[gi])[1:] for gi in range(n)
-            ]
-        T = max(len(pth) for pth in norm)
-        for pth in norm:
-            pth.extend([pth[-1]] * (T - len(pth)))
-
-        visits = {}
-        for gi in range(n):
-            t = 0
-            while t < T:
-                t_out = t
-                while t_out + 1 < T and norm[gi][t_out + 1] == norm[gi][t]:
-                    t_out += 1
-                visits.setdefault(norm[gi][t], []).append((t, t_out, gi))
-                t = t_out + 1
-        for v in visits:
-            visits[v].sort()
-        return {"paths": norm, "ptr": [0] * n, "visits": visits}
 
     # ==================================================================
     def _rebuild_coarse_from_known(self):
@@ -614,70 +593,12 @@ class MultiSyncSimulator:
             if p.grid_margin > 0 else self.coarse
         )
         self._coarse_version = mm.version()
+        self._margined_fails = 0
 
     # ==================================================================
-    def _yield_escape(self, stalled_ids):
-        """Symmetry breaking for persistent knots: the stalled agent with
-        the most free adjacent cells steps to an escape cell away from
-        the others; its waypoint updates are held briefly so the rest of
-        the knot can pass. (Not in the reference — its fresh-PIBT-per-
-        step relies on trajectory noise to break such ties.)"""
-        from collections import deque
-
-        occ = self.coarse.occ2d()
-        X, Y = occ.shape
-        # all agent body AND waypoint cells are blocked for the escape
-        # (one waypoint per cell is the MAPF-layer invariant)
-        all_cells = {
-            tuple(self.coarse.point_to_node(self.pos[j])[:2])
-            for j in range(self.A)
-        } | {
-            tuple(self.coarse.point_to_node(self.next_waypoint[j])[:2])
-            for j in range(self.A)
-        }
-        centroid = np.mean([self.pos[i] for i in stalled_ids], axis=0)
-
-        best = (-1.0, None, -1)  # (escape distance gain, cell, agent)
-        for i in stalled_ids:
-            start = tuple(self.coarse.point_to_node(self.pos[i])[:2])
-            # BFS up to 3 cells over free, unoccupied cells; pick the cell
-            # farthest from the knot centroid — EVACUATE the pocket, don't
-            # shuffle inside it
-            seen = {start: 0}
-            dq = deque([start])
-            cand = None
-            cand_d = -1.0
-            # radius ≤ 2 cells keeps the escape waypoint inside the
-            # QP's communication-range feasibility of the body
-            while dq:
-                c = dq.popleft()
-                if seen[c] >= 2:
-                    continue
-                for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                    nxt = (c[0] + dx, c[1] + dy)
-                    if nxt in seen:
-                        continue
-                    if not (0 <= nxt[0] < X and 0 <= nxt[1] < Y) or occ[nxt]:
-                        continue
-                    if nxt in all_cells:
-                        continue
-                    seen[nxt] = seen[c] + 1
-                    dq.append(nxt)
-                    pt = self.coarse.node_to_point(np.array([nxt[0], nxt[1], 0]))
-                    dcen = float(np.linalg.norm(pt[:2] - centroid[:2]))
-                    if dcen > cand_d:
-                        cand_d, cand = dcen, nxt
-            if cand is not None and cand_d > best[0]:
-                best = (cand_d, cand, i)
-
-        if best[2] >= 0:
-            i = best[2]
-            wpp = self.coarse.node_to_point(np.array([best[1][0], best[1][1], 0]))
-            if self.param.world_dimension == 3:
-                wpp[2] = self.pos[i][2]
-            self.next_waypoint[i] = wpp
-            self._yield_agent = i
-            self._yield_hold = 15
+    def _log(self, event: str, detail) -> None:
+        if len(self.events) < 100000:
+            self.events.append((self.planner_seq, event, detail))
 
     # ==================================================================
     def plan(self) -> bool:
@@ -845,7 +766,6 @@ class MultiSyncSimulator:
             dw_pair = (dw[:, None] * r[:, None] + dw[None, :] * r[None, :]) / (
                 r[:, None] + r[None, :]
             )
-            d = self.pos * 0  # placeholder
             diff = pos[:, None] - pos[None, :]
             dist = np.sqrt(
                 diff[..., 0] ** 2

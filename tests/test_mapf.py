@@ -114,6 +114,106 @@ def test_ecbs_valid():
             assert at(i, L - 1) == tuple(goals[i])
 
 
+def test_ecbs_w_bound_vs_bruteforce_optimal():
+    """ECBS's certificate: soc ≤ w · LB, with LB ≤ optimal SOC.
+    Cross-check against a brute-force joint-state BFS optimum on small
+    2-agent instances (reference ecbs.cpp:5 — w = 2.0)."""
+    from itertools import product
+
+    def brute_optimal_soc(occ, starts, goals):
+        # joint BFS over (v1, v2) minimizing sum of per-agent move costs
+        import heapq as hq
+
+        X, Y = occ.shape
+
+        def nbrs(v):
+            out = [v]
+            for dx, dy in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+                u = (v[0] + dx, v[1] + dy)
+                if 0 <= u[0] < X and 0 <= u[1] < Y and not occ[u]:
+                    out.append(u)
+            return out
+
+        start = (tuple(starts[0]), tuple(starts[1]))
+        goal = (tuple(goals[0]), tuple(goals[1]))
+        # Dijkstra over joint states; cost = #agents not yet parked-at-goal
+        # per step (equals SOC for paths that park at the end)
+        dist = {start: 0}
+        pq = [(0, start)]
+        while pq:
+            d, st = hq.heappop(pq)
+            if st == goal:
+                return d
+            if d > dist.get(st, np.inf):
+                continue
+            for u1, u2 in product(nbrs(st[0]), nbrs(st[1])):
+                if u1 == u2:
+                    continue
+                if u1 == st[1] and u2 == st[0]:
+                    continue  # swap
+                # waiting at goal is free; any move or off-goal wait costs 1
+                c = int(u1 != goal[0] or st[0] != goal[0]) + int(
+                    u2 != goal[1] or st[1] != goal[1]
+                )
+                nd = d + c
+                nxt = (u1, u2)
+                if nd < dist.get(nxt, np.inf):
+                    dist[nxt] = nd
+                    hq.heappush(pq, (nd, nxt))
+        return None
+
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        occ = rng.random((6, 6)) < 0.2
+        free = [tuple(c) for c in np.argwhere(~occ)]
+        rng.shuffle(free)
+        if len(free) < 4:
+            continue
+        starts, goals = [free[0], free[1]], [free[2], free[3]]
+        d0 = bfs_distances(occ, goals[0])
+        d1 = bfs_distances(occ, goals[1])
+        if not (np.isfinite(d0[starts[0]]) and np.isfinite(d1[starts[1]])):
+            continue
+        res = ecbs.solve_ecbs(occ, starts, starts, goals, return_lb=True)
+        paths, lb = res
+        if paths is None:
+            continue
+        soc = sum(ecbs._path_cost(p) for p in paths)
+        opt = brute_optimal_soc(occ, starts, goals)
+        assert opt is not None
+        assert lb <= opt, f"LB {lb} exceeds optimal {opt}"
+        assert soc <= ecbs.SUB_OPTIMALITY * opt + 1e-9
+
+
+def test_ecbs_vs_pibt_dense_corridor():
+    """Dense two-lane corridor where the solvers' orderings differ: both
+    must be valid; ECBS must respect its w-bound (certified by its own
+    LB); timing recorded as a smoke check."""
+    import time
+
+    # two-row corridor, two opposing streams of 3 agents each
+    occ = np.ones((8, 4), dtype=bool)
+    occ[:, 1:3] = False
+    starts = [(0, 1), (1, 1), (2, 1), (7, 2), (6, 2), (5, 2)]
+    goals = [(7, 1), (6, 1), (5, 1), (0, 2), (1, 2), (2, 2)]
+
+    t0 = time.perf_counter()
+    p_pibt = pibt.solve_pibt(occ, starts, starts, goals, seed=0)
+    t_pibt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = ecbs.solve_ecbs(occ, starts, starts, goals, return_lb=True)
+    t_ecbs = time.perf_counter() - t0
+    p_ecbs, lb = res
+
+    assert p_pibt is not None and p_ecbs is not None
+    _validate(p_pibt, occ, goals)
+    _validate(p_ecbs, occ, goals)
+    soc_ecbs = sum(ecbs._path_cost(p) for p in p_ecbs)
+    assert soc_ecbs <= ecbs.SUB_OPTIMALITY * lb + 1e-9
+    # ECBS should not be wildly slower than PIBT on this instance
+    assert t_ecbs < max(50 * t_pibt, 5.0)
+
+
 def test_pibt_unreachable_returns_none():
     occ = np.zeros((4, 4), dtype=bool)
     occ[2, :] = True  # wall splits the grid
