@@ -102,6 +102,10 @@ class Param:
     multisim_time_step: float = 0.2
     multisim_planning_rate: int = -1
     multisim_max_noise: float = 0.0
+    # dynamic-obstacle observation noise (std dev, meters) applied to the
+    # obstacle positions the PLANNER observes; the safety audit uses true
+    # positions (reference hook: obstacle_generator.hpp:95-108)
+    multisim_observer_stddev: float = 0.0
     multisim_max_planner_iteration: int = 600
     multisim_save_result: bool = False
     multisim_save_mission: bool = False

@@ -49,6 +49,7 @@ def save_checkpoint(sim, path: str) -> None:
         "planner_state": sim.planner_state.name,
         "group_plans": sim._group_plans,
         "events": sim.events,
+        "obs_rng": sim._obs_rng,
         "planning_time": sim.planning_time,
         "traj_history": sim.traj_history,
         "sim_csv_rows": sim._sim_csv_rows,
@@ -89,6 +90,7 @@ def load_checkpoint(sim, path: str) -> None:
     sim.planner_state = PlannerState[aux["planner_state"]]
     sim._group_plans = aux["group_plans"]
     sim.events = aux["events"]
+    sim._obs_rng = aux["obs_rng"]
     sim.planning_time = aux["planning_time"]
     sim.traj_history = aux["traj_history"]
     sim._sim_csv_rows = aux["sim_csv_rows"]

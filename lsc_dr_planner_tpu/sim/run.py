@@ -36,6 +36,7 @@ def build_param(args) -> Param:
         qp_max_iter=args.qp_iters,
         world_use_global_map=not args.no_global_map,
         sensor_range=args.sensor_range,
+        multisim_observer_stddev=args.obs_noise,
     )
 
 
@@ -77,6 +78,9 @@ def main(argv=None):
                          "within --sensor-range and merge maps in comm "
                          "range (reference world/use_global_map=false)")
     ap.add_argument("--sensor-range", type=float, default=3.0)
+    ap.add_argument("--obs-noise", type=float, default=0.0,
+                    help="dynamic-obstacle observation noise std dev [m] "
+                         "seen by the planner (audit uses true states)")
     ap.add_argument("--checkpoint", help="checkpoint .npz path to write")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="save the checkpoint every N planning steps")

@@ -124,6 +124,7 @@ class MultiSyncSimulator:
         )
 
         self.obstacle_generator = ObstacleGenerator(mission.obstacles, seed=seed)
+        self._obs_rng = np.random.default_rng(seed + 0x0B5)
 
         self.planner = FleetPlanner(
             param, self.world, self.A, max_dynobs=mission.on,
@@ -612,6 +613,16 @@ class MultiSyncSimulator:
         out.desired_ctrl.block_until_ready()
         self._apply_step_outputs(out)
         elapsed = timer.stop()
+        if self.planner_seq == 1:
+            # the first call pays the one-off XLA compile; re-run the
+            # (pure) jitted step for a steady-state timing sample so the
+            # summary's min/max planning times aren't polluted by the
+            # compile (reference stats are per-step wall times,
+            # multi_sync_simulator.cpp:579-583)
+            t2 = Timer()
+            out2 = self.planner.step(self.fleet, inp)
+            out2.desired_ctrl.block_until_ready()
+            elapsed = t2.stop()
         # per-agent statistics parity: the batched solve serves all agents
         # at once; record the whole-step wall time as the per-step planning
         # time (the reference records per-agent times and averages).
@@ -656,7 +667,13 @@ class MultiSyncSimulator:
         # dynamic obstacle states at current sim time
         OD = self.mission.on
         if OD > 0:
-            obs_states = self.obstacle_generator.states_at(self.sim_time)
+            # planner-side observation (optionally noisy — reference hook
+            # obstacle_generator.hpp:95-108); the audit (below) always
+            # evaluates the TRUE obstacle states
+            obs_states = self.obstacle_generator.states_at(
+                self.sim_time, noise_std=p.multisim_observer_stddev,
+                rng=self._obs_rng,
+            )
             dyn_pos = np.stack([o.position for o in obs_states])
             dyn_vel = np.stack([o.velocity for o in obs_states])
             dyn_r = np.array([o.radius for o in obs_states])

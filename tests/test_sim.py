@@ -134,3 +134,63 @@ def test_dlsc_substep_replanning(tmp_path):
     assert not res["is_collided"]
     assert res["safety_ratio_agent"] >= 1.0
     assert np.isfinite(res["total_flight_time"])
+
+
+def test_dynamic_obstacles_end_to_end(tmp_path):
+    """Agents cross a field with a spinning and a straight-moving
+    obstacle; full audit (agent-agent AND agent-obstacle safety).
+    Reference obstacle models: include/obstacle.hpp:83-214."""
+    from lsc_dr_planner_tpu.mission import ObstacleSpec
+
+    m = generate_random_mission(2, [-3, -3, 0], [3, 3, 2.5], seed=21,
+                                min_separation=2.0)
+    m.obstacles.append(ObstacleSpec(
+        type="spin", radius=0.2, max_acc=1.0, downwash=1.0,
+        axis_position=np.array([0.0, 0.0, 0.6]),
+        axis_ori=np.array([0.0, 0.0, 1.0]),
+        start=np.array([0.8, 0.0, 0.6]),
+        speed=0.4,
+    ))
+    m.obstacles.append(ObstacleSpec(
+        type="straight", radius=0.15, max_acc=1.0, downwash=1.0,
+        start=np.array([-2.0, 1.5, 0.6]),
+        goal=np.array([2.0, 1.5, 0.6]),
+        speed=0.3,
+    ))
+    p = _param(multisim_max_planner_iteration=120)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    res = sim.run()
+    assert not res["is_collided"]
+    assert res["safety_ratio_agent"] >= 1.0
+    assert np.isfinite(res["safety_ratio_obs"])
+    assert res["safety_ratio_obs"] >= 1.0
+    assert np.isfinite(res["total_flight_time"])
+
+
+def test_obstacle_observation_noise_wiring(tmp_path):
+    """multisim_observer_stddev perturbs the PLANNER's view of dynamic
+    obstacles (reference hook obstacle_generator.hpp:95-108) while the
+    audit uses true states; the run must remain safe under small noise."""
+    from lsc_dr_planner_tpu.mission import ObstacleSpec
+
+    m = generate_random_mission(2, [-3, -3, 0], [3, 3, 2.5], seed=23,
+                                min_separation=2.0)
+    m.obstacles.append(ObstacleSpec(
+        type="straight", radius=0.2, max_acc=1.0, downwash=1.0,
+        start=np.array([-2.0, 0.5, 0.6]),
+        goal=np.array([2.0, 0.5, 0.6]),
+        speed=0.3,
+    ))
+    p = _param(multisim_max_planner_iteration=100,
+               multisim_observer_stddev=0.03)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+
+    # the planner's observed obstacle positions differ from truth
+    inp = sim._build_step_inputs()
+    true_state = sim.obstacle_generator.states_at(0.0)[0]
+    observed = np.asarray(inp.dynobs_pos[0])
+    assert np.linalg.norm(observed - true_state.position) > 1e-6
+
+    res = sim.run()
+    assert not res["is_collided"]
+    assert res["safety_ratio_obs"] >= 1.0

@@ -1,0 +1,111 @@
+"""Full reference-benchmark runner: the 90 missions of forest10 +
+maze10_sparse + maze10_dense (the reference's test_all_* launch files,
+/root/reference/launch/test_all_forest.launch etc.).
+
+Idempotent with a time budget: already-completed missions (tracked in
+log/benchmark/<set>.jsonl) are skipped, so repeated invocations resume
+where the previous one stopped. Appends one summary row per mission to
+log/benchmark/summary_<set>.csv in the reference schema
+(multi_sync_simulator.cpp:658-709) plus a JSON line per mission.
+
+Usage:
+    python tools/run_benchmark.py --set forest10 --budget 540
+    python tools/run_benchmark.py --set maze10_sparse --budget 540
+    python tools/run_benchmark.py --set maze10_dense --budget 540
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+except Exception:
+    pass
+
+import numpy as np  # noqa: E402
+
+REF = "/root/reference"
+SETS = {
+    "forest10": (f"{REF}/missions/forest10", f"{REF}/world/forest"),
+    "maze10_sparse": (f"{REF}/missions/maze10_sparse", f"{REF}/world/maze/sparse"),
+    "maze10_dense": (f"{REF}/missions/maze10_dense", f"{REF}/world/maze/dense"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", required=True, choices=sorted(SETS))
+    ap.add_argument("--budget", type=float, default=540.0,
+                    help="stop starting new missions after this many seconds")
+    ap.add_argument("--log-dir", default="log/benchmark")
+    ap.add_argument("--max-iter", type=int, default=600)
+    args = ap.parse_args()
+
+    from lsc_dr_planner_tpu.config import Param
+    from lsc_dr_planner_tpu.mission import Mission, enumerate_mission_set_natural
+    from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    done_path = os.path.join(args.log_dir, f"{args.set}.jsonl")
+    done = set()
+    if os.path.exists(done_path):
+        with open(done_path) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["mission"])
+                except Exception:
+                    pass
+
+    mission_dir, world_dir = SETS[args.set]
+    pairs = enumerate_mission_set_natural(mission_dir, world_dir)
+    t0 = time.time()
+    ran = 0
+    for mf, wf in pairs:
+        name = os.path.basename(mf)
+        if name in done:
+            continue
+        if time.time() - t0 > args.budget:
+            print(f"# budget reached after {ran} missions", flush=True)
+            return 0
+        param = Param(
+            world_dimension=2, world_use_octomap=True,
+            communication_range=3.0, multisim_save_result=False,
+            multisim_max_planner_iteration=args.max_iter,
+        )
+        mission = Mission.load(mf, world_file=wf, world_dimension=2,
+                               world_z_2d=param.world_z_2d)
+        sim = MultiSyncSimulator(param, mission, log_dir=args.log_dir)
+        r = sim.run()
+        r["mission"] = name
+        r["world"] = os.path.basename(wf)
+        r["set"] = args.set
+        # reference-schema summary row (one per mission)
+        sim.save_result = True
+        sim.file_name_param = f"{args.set}_LSC_{sim.A}agents"
+        sim._write_summary_csv()
+        with open(done_path, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        ok = (not r["is_collided"] and not r["qp_failed"]
+              and np.isfinite(r["total_flight_time"]))
+        print(f"{name}: flight={r['total_flight_time']:.1f}s "
+              f"dist={r['total_flight_distance']:.1f}m "
+              f"safety={r['safety_ratio_agent']:.3f} "
+              f"{'OK' if ok else 'FAIL'}", flush=True)
+        ran += 1
+    print(f"# set {args.set} complete ({ran} new)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
