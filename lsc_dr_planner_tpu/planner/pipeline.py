@@ -191,8 +191,11 @@ class FleetPlanner:
             else jnp.ones_like(dist, dtype=bool)
         )
         dist = jnp.where(in_range, dist, 1e9)
-        order = jnp.argsort(dist, axis=-1)[:, :OA]  # [A, OA] nearest first
-        valid = jnp.take_along_axis(dist, order, axis=-1) < 1e8
+        # top-k nearest instead of a full argsort: O(A²·log k) work and
+        # no [A, A] permutation materialization — the argsort was the
+        # scaling wall toward 10⁴+ agents
+        neg_top, order = jax.lax.top_k(-dist, OA)  # [A, OA] nearest first
+        valid = -neg_top < 1e8
 
         def gather(x):
             return x[order]  # [A, OA, ...]

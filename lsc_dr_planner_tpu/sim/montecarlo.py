@@ -33,8 +33,14 @@ class MonteCarloSimulator:
     are perturbed per scenario (`max_noise`, seeded)."""
 
     def __init__(self, param: Param, mission: Mission, n_scenarios: int,
-                 max_noise: float = 0.25, log_dir: str = "log", seed: int = 0):
+                 max_noise: float = 0.25, log_dir: str = "log", seed: int = 0,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'scenarios' axis —
+        the stacked scenario batch is sharded across its devices, so S
+        replicas split over the chips (the pod-scale Monte-Carlo axis,
+        BASELINE '1024 agents × 256 scenarios')."""
         self.S = n_scenarios
+        self.mesh = mesh
         self.sims: List[MultiSyncSimulator] = []
         for s in range(n_scenarios):
             m = copy.deepcopy(mission)
@@ -65,6 +71,17 @@ class MonteCarloSimulator:
         stacked = jax.tree_util.tree_map(
             lambda *leaves: jnp.stack(leaves), *inputs
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P("scenarios"))
+
+            def place(x):
+                if x is None or x.ndim == 0:
+                    return x
+                return jax.device_put(x, shard)
+
+            stacked = jax.tree_util.tree_map(place, stacked)
         outs = self._vstep(self.fleet, stacked)
         for s, sim in enumerate(self.sims):
             out_s = jax.tree_util.tree_map(lambda x: x[s], outs)

@@ -23,3 +23,43 @@ def test_montecarlo_lockstep(tmp_path):
     g0 = mc.sims[0].desired_goal
     g1 = mc.sims[1].desired_goal
     assert np.linalg.norm(g0 - g1) > 1e-6
+
+
+def test_montecarlo_sharded_scenarios(tmp_path):
+    """Scenario batch sharded over the virtual 8-device mesh produces
+    the same per-scenario results as the unsharded Monte-Carlo run."""
+    import jax
+    import numpy as np
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from jax.sharding import Mesh
+
+    from lsc_dr_planner_tpu.config import Param
+    from lsc_dr_planner_tpu.mission import generate_random_mission
+    from lsc_dr_planner_tpu.sim.montecarlo import MonteCarloSimulator
+
+    m = generate_random_mission(3, [-3, -3, 0], [3, 3, 2.5], seed=2,
+                                min_separation=1.5)
+    p = Param(world_use_octomap=False, multisim_max_planner_iteration=40,
+              qp_max_iter=60)
+
+    ref = MonteCarloSimulator(p, m, n_scenarios=8, max_noise=0.2,
+                              log_dir=str(tmp_path))
+    r_ref = ref.run(max_iterations=8)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("scenarios",))
+    shd = MonteCarloSimulator(p, m, n_scenarios=8, max_noise=0.2,
+                              log_dir=str(tmp_path), mesh=mesh)
+    r_shd = shd.run(max_iterations=8)
+
+    # sharded reductions reorder floats; the ADMM's early exit can shift
+    # by a chunk, so trajectories drift at 1e-3-scale over steps —
+    # equivalence here is behavioral, not bitwise
+    for a, b in zip(ref.sims, shd.sims):
+        np.testing.assert_allclose(a.pos, b.pos, atol=0.02)
+        assert a.is_collided == b.is_collided
+    assert [r["is_collided"] for r in r_ref] == [
+        r["is_collided"] for r in r_shd
+    ]
