@@ -1,9 +1,11 @@
-"""ctypes loader for the native C++ MAPF backend (native/mapf.cpp).
+"""ctypes loader for the native C++ MAPF backend (native/mapf.cpp +
+native/ecbs.cpp).
 
 Builds the shared library on demand with g++ (cached next to the
-source), exposes `solve_pibt` with the same signature and bit-identical
-results as the Python implementation (shared LCG shuffle), and falls
-back to Python when no compiler is available.
+sources), exposes `solve_pibt` and `solve_ecbs` with the same
+signatures and identical results as the Python implementations
+(shared LCG shuffle for PIBT; strict insertion-counter total orders for
+ECBS), and falls back to Python when no compiler is available.
 """
 
 from __future__ import annotations
@@ -15,12 +17,14 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from lsc_dr_planner_tpu.mapf import ecbs as pyecbs
 from lsc_dr_planner_tpu.mapf import pibt as pypibt
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 _SRC = os.path.join(_REPO_ROOT, "native", "mapf.cpp")
+_SRC_ECBS = os.path.join(_REPO_ROOT, "native", "ecbs.cpp")
 _LIB = os.path.join(_REPO_ROOT, "native", "libmapf.so")
 
 _lib = None
@@ -33,12 +37,12 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+        srcs = [s for s in (_SRC, _SRC_ECBS) if os.path.exists(s)]
+        if not os.path.exists(_LIB) or any(
+            os.path.getmtime(s) > os.path.getmtime(_LIB) for s in srcs
         ):
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", *srcs,
                  "-o", _LIB],
                 check=True, capture_output=True,
             )
@@ -54,6 +58,18 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n, seed, max_t
             ctypes.POINTER(ctypes.c_int),  # out_paths
             ctypes.c_int,  # max_len
+        ]
+        lib.ecbs_solve.restype = ctypes.c_int
+        lib.ecbs_solve.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),  # occ
+            ctypes.c_int, ctypes.c_int,  # X, Y
+            ctypes.POINTER(ctypes.c_int),  # currents
+            ctypes.POINTER(ctypes.c_int),  # goals
+            ctypes.c_int, ctypes.c_double,  # n, w
+            ctypes.c_int, ctypes.c_double,  # max_hl_nodes, time_limit_s
+            ctypes.POINTER(ctypes.c_int),  # out_paths
+            ctypes.c_int,  # max_len
+            ctypes.POINTER(ctypes.c_longlong),  # out_lb
         ]
         _lib = lib
     except Exception:
@@ -108,3 +124,52 @@ def solve_pibt(
     return [
         [tuple(int(v) for v in out[i, t]) for t in range(L)] for i in range(n)
     ]
+
+
+def solve_ecbs(
+    occ2d: np.ndarray,
+    starts: Sequence[Tuple[int, int]],
+    currents: Sequence[Tuple[int, int]],
+    goals: Sequence[Tuple[int, int]],
+    sub_optimality: float = pyecbs.SUB_OPTIMALITY,
+    max_hl_nodes: int = 5000,
+    return_lb: bool = False,
+    time_limit_s: float = 10.0,
+):
+    """Native ECBS; falls back to the Python implementation. `starts`
+    is accepted for signature parity (ECBS plans from `currents`)."""
+    lib = _load()
+    if lib is None:
+        return pyecbs.solve_ecbs(
+            occ2d, starts, currents, goals,
+            sub_optimality=sub_optimality, max_hl_nodes=max_hl_nodes,
+            return_lb=return_lb, time_limit_s=time_limit_s,
+        )
+    occ = np.ascontiguousarray(np.asarray(occ2d, dtype=np.uint8))
+    X, Y = occ.shape
+    n = len(currents)
+    cu = np.ascontiguousarray(np.asarray(currents, dtype=np.int32).reshape(-1))
+    go = np.ascontiguousarray(np.asarray(goals, dtype=np.int32).reshape(-1))
+    max_len = 4 * (X + Y) * n + 100
+    out = np.zeros((n, max_len, 2), dtype=np.int32)
+    lb = ctypes.c_longlong(0)
+
+    def ptr(a, typ=ctypes.c_int):
+        return a.ctypes.data_as(ctypes.POINTER(typ))
+
+    T = lib.ecbs_solve(
+        ptr(occ, ctypes.c_uint8), X, Y, ptr(cu), ptr(go), n,
+        ctypes.c_double(sub_optimality), max_hl_nodes,
+        ctypes.c_double(time_limit_s), ptr(out), max_len,
+        ctypes.byref(lb),
+    )
+    if T < 0:
+        paths = None
+    else:
+        paths = [
+            [tuple(int(v) for v in out[i, t]) for t in range(T)]
+            for i in range(n)
+        ]
+    if return_lb:
+        return paths, int(lb.value)
+    return paths

@@ -237,3 +237,27 @@ def test_coarse_grid_geometry():
     np.testing.assert_array_equal(node[:2], [10, 8])
     p = cg.node_to_point(np.array([10, 8, 0]))
     np.testing.assert_allclose(p, [0.0, -1.0, 0.6])
+
+
+@pytest.mark.skipif(not native.available(), reason="no native backend")
+def test_native_ecbs_matches_python():
+    """native/ecbs.cpp produces bit-identical solutions to mapf/ecbs.py
+    (strict insertion-counter total orders at both search levels)."""
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        occ = rng.random((10, 10)) < 0.15
+        free = [tuple(c) for c in np.argwhere(~occ)]
+        rng.shuffle(free)
+        n = 4
+        if len(free) < 2 * n:
+            continue
+        cur, gl = free[:n], free[n : 2 * n]
+        if any(
+            not np.isfinite(bfs_distances(occ, gl[i])[cur[i]])
+            for i in range(n)
+        ):
+            continue
+        p_py, lb_py = ecbs.solve_ecbs(occ, cur, cur, gl, return_lb=True)
+        p_cc, lb_cc = native.solve_ecbs(occ, cur, cur, gl, return_lb=True)
+        assert p_py == p_cc
+        assert lb_py == lb_cc
