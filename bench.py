@@ -250,21 +250,56 @@ def bench_qp_shifted(A: int = 1024, steps: int = 20):
             "convergence": float(np.asarray(conv).mean())}
 
 
+def accelerator_alive(timeout_s: float = 120.0) -> bool:
+    """Probe the default JAX backend in a SUBPROCESS with a timeout: a
+    wedged TPU tunnel hangs device ops forever, which would turn the
+    whole benchmark into a timeout. On probe failure the bench falls
+    back to a reduced CPU configuration instead of hanging."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "jnp.ones(4).sum().block_until_ready(); print('alive')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return b"alive" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    import os
+
+    tpu_ok = accelerator_alive()
+    if not tpu_ok:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps({
+            "diagnostic": "accelerator_probe",
+            "note": "default backend unresponsive; falling back to CPU "
+                    "with a reduced configuration",
+        }))
+
+    sizes = (128, 1024) if tpu_ok else (64,)
+    head = sizes[-1]
     results = {}
-    for A in (128, 1024):
-        r = bench_pipeline(A)
+    for A in sizes:
+        r = bench_pipeline(A, steps=50 if tpu_ok else 15)
         results[A] = r
         print(json.dumps({"diagnostic": "pipeline", **{
             k: (round(v, 2) if isinstance(v, float) else v)
             for k, v in r.items()}}))
 
-    qp_r = bench_qp_shifted(1024)
-    print(json.dumps({"diagnostic": "qp_shifted", **{
-        k: (round(v, 2) if isinstance(v, float) else v)
-        for k, v in qp_r.items()}}))
+    if tpu_ok:
+        qp_r = bench_qp_shifted(1024)
+        print(json.dumps({"diagnostic": "qp_shifted", **{
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in qp_r.items()}}))
 
-    r = results[1024]
+    r = results[head]
     baseline = 121.0  # reference: ~121 sequential agent-steps/s (BASELINE.md)
     rate = r["agent_steps_per_s"]
     assert r["qp_convergence"] > 0.9, (
@@ -273,7 +308,8 @@ def main():
     print(json.dumps({
         "metric": "pipeline_agent_steps_per_s_per_chip",
         "value": round(rate, 1),
-        "unit": "agent-steps/s (full 6-stage pipeline)",
+        "unit": "agent-steps/s (full 6-stage pipeline)"
+                + ("" if tpu_ok else " [CPU fallback — TPU unresponsive]"),
         "vs_baseline": round(rate / baseline, 2),
     }))
 
