@@ -243,11 +243,16 @@ def solve_ecbs(
         if start_f1 is None:
             return None, 0
 
-        # node store: idx -> (v, g, f1, f2, parent_idx)
-        nodes = [(s, 0, start_f1, 0, -1)]
+        # node store: idx -> (v, g, f1, f2, moves, parent_idx)
+        # `moves` (# of non-wait transitions) is a FOCAL tie-break the
+        # reference lacks: SOC costs only the last arrival, so optimal
+        # plans may contain cost-free back-and-forth shuffles; preferring
+        # fewer moves at equal (f2, f1) yields compact paths that the
+        # committed-plan executor then walks physically.
+        nodes = [(s, 0, start_f1, 0, 0, -1)]
         tie = itertools.count()
         OPEN = [(start_f1, next(tie), 0)]  # (f1, tie, idx)
-        FOCAL = [(0, start_f1, 0, next(tie), 0)]  # (f2, f1, −g, tie, idx)
+        FOCAL = [(0, start_f1, 0, 0, next(tie), 0)]  # (f2,f1,moves,−g,tie,idx)
         CLOSE = set()
         f1_min = start_f1
         goal_idx = -1
@@ -268,16 +273,16 @@ def solve_ecbs(
                 bound = f1_min * sub_optimality
                 FOCAL = []
                 for (f1v, tv, idx) in OPEN:
-                    v, gc, _f1, f2v, _p = nodes[idx]
+                    v, gc, _f1, f2v, mv, _p = nodes[idx]
                     if (v, gc) in CLOSE or f1v > bound:
                         continue
-                    FOCAL.append((f2v, f1v, -gc, tv, idx))
+                    FOCAL.append((f2v, f1v, mv, -gc, tv, idx))
                 heapq.heapify(FOCAL)
                 if not FOCAL:
                     break
 
-            f2v, f1v, neg_g, _tv, idx = heapq.heappop(FOCAL)
-            v, gcost, _f1, _f2, _p = nodes[idx]
+            f2v, f1v, _mv, neg_g, _tv, idx = heapq.heappop(FOCAL)
+            v, gcost, _f1, _f2, moves, _p = nodes[idx]
             if (v, gcost) in CLOSE:
                 continue
             CLOSE.add((v, gcost))
@@ -297,11 +302,14 @@ def solve_ecbs(
                 if nf1 is None:
                     continue
                 nf2 = f2v + f2_step(u, v, ng)
-                nodes.append((u, ng, nf1, nf2, idx))
+                nmv = moves + (1 if u != v else 0)
+                nodes.append((u, ng, nf1, nf2, nmv, idx))
                 nidx = len(nodes) - 1
                 heapq.heappush(OPEN, (nf1, next(tie), nidx))
                 if nf1 <= f1_min * sub_optimality:
-                    heapq.heappush(FOCAL, (nf2, nf1, -ng, next(tie), nidx))
+                    heapq.heappush(
+                        FOCAL, (nf2, nf1, nmv, -ng, next(tie), nidx)
+                    )
 
         if goal_idx < 0:
             return None, 0
@@ -309,7 +317,7 @@ def solve_ecbs(
         cur = goal_idx
         while cur >= 0:
             path.append(nodes[cur][0])
-            cur = nodes[cur][4]
+            cur = nodes[cur][5]
         path.reverse()
         return path, int(f1_min)
 

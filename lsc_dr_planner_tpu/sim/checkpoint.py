@@ -27,7 +27,7 @@ _ARRAY_FIELDS = (
     "pos", "vel", "acc", "start_point", "desired_goal", "current_goal",
     "next_waypoint", "prev_ctrl", "desired_ctrl", "has_prev",
     "sfc_lo", "sfc_hi", "sfc_initialized",
-    "_pin_steps", "_last_pos", "vel_excess_ratio", "acc_excess_ratio",
+    "_pin_steps", "_pin_anchor", "vel_excess_ratio", "acc_excess_ratio",
 )
 
 # plain scalar attributes

@@ -171,7 +171,7 @@ class MultiSyncSimulator:
         # debugging and the regression tests
         self.events: List[tuple] = []
         self._pin_steps = np.zeros(self.A, dtype=int)
-        self._last_pos = self.pos.copy()
+        self._pin_anchor = self.pos.copy()
         self.planner_state = (
             PlannerState.PATROL if p.multisim_patrol else PlannerState.GOTO
         )
@@ -331,38 +331,51 @@ class MultiSyncSimulator:
         # a goal LP gets pinned short of its waypoint (contact-tight CLSC
         # when two crossing bodies meet mid-transit) while the body stops,
         # yet the MAPF layer keeps planning from the fictional waypoint
-        # cell. Detect exactly that — goal LP not converged AND body
-        # stationary for RETREAT_K consecutive steps — and pull the
-        # agent's waypoint back to its body's actual cell (if no other
-        # waypoint holds it). The memo key contains the config, so the
-        # next solve re-plans from physically-true state and the knot
-        # dissolves. This replaces the earlier blanket stall resets/yield
+        # cell. Detection is WINDOWED against an anchor position, so a
+        # pinned agent that micro-oscillates (contact-margin limit
+        # cycles move the body a few cm/step without progress) still
+        # counts as pinned. A pinned agent gets two escapes, in order:
+        #   1. its goal-LP convergence gate relaxes to contact scale
+        #      (0.6·grid cell) — a leader pinned ½(r_i+r_j) short of its
+        #      waypoint by a neighbor's CLSC can then take its next
+        #      (typically away-leading) plan cell, unknotting the queue;
+        #   2. if its waypoint CELL differs from its body's cell
+        #      (virtual/physical divergence), the waypoint retreats to
+        #      the body's cell (if free); the memo key contains the
+        #      config, so the next solve re-plans from true state.
+        # This replaces the earlier blanket stall resets/yield
         # escalation, which thrashed healthy plans.
         RETREAT_K = 20
-        moved = np.linalg.norm(self.pos - self._last_pos, axis=-1) > 0.02
-        self._last_pos = self.pos.copy()
         diverged = (
             np.linalg.norm(self.current_goal - self.next_waypoint, axis=-1)
             > EPS
         )
-        self._pin_steps = np.where(diverged & ~moved, self._pin_steps + 1, 0)
-        pinned = np.nonzero(self._pin_steps >= RETREAT_K)[0]
+        far = (
+            np.linalg.norm(self.pos - self._pin_anchor, axis=-1)
+            > 0.5 * p.grid_resolution
+        )
+        reset = far | ~diverged
+        self._pin_anchor = np.where(reset[:, None], self.pos, self._pin_anchor)
+        self._pin_steps = np.where(reset, 0, self._pin_steps + 1)
+        pinned_mask = self._pin_steps >= RETREAT_K
+        pinned = np.nonzero(pinned_mask)[0]
         if len(pinned):
             wp_cells = {
                 tuple(self.coarse.point_to_node(self.next_waypoint[j])[:2]): j
                 for j in range(self.A)
             }
             for i in pinned:
-                self._pin_steps[i] = 0
                 cell = self.coarse.point_to_node(self.pos[i])
                 cell[2] = 0
                 key = tuple(cell[:2])
-                holder = wp_cells.get(key)
-                if holder is not None and holder != i:
-                    continue  # another agent's waypoint holds our cell
                 mine = tuple(
                     self.coarse.point_to_node(self.next_waypoint[i])[:2]
                 )
+                if key == mine:
+                    continue  # synced cells: escape 1 (gate relax) applies
+                holder = wp_cells.get(key)
+                if holder is not None and holder != i:
+                    continue  # another agent's waypoint holds our cell
                 wpp = self.coarse.node_to_point(cell)
                 wpp[2] = (
                     self.pos[i][2] if p.world_dimension == 3 else p.world_z_2d
@@ -370,9 +383,11 @@ class MultiSyncSimulator:
                 del wp_cells[mine]
                 wp_cells[key] = i
                 self.next_waypoint[i] = wpp
+                self._pin_steps[i] = 0
                 self._log("retreat", (int(i), key))
 
         occ2d = self.coarse.occ2d().copy()
+        seen_sigs = set()
         for group in self._groups():
             timer = Timer()
             cells_start = [tuple(self.coarse.point_to_node(self.start_point[i])[:2])
@@ -382,31 +397,37 @@ class MultiSyncSimulator:
             cells_goal = [tuple(self.coarse.point_to_node(self.desired_goal[i])[:2])
                           for i in group]
 
-            # --- per-step MAPF, memoized by config ------------------------
-            # The reference re-solves MAPF from scratch every step, takes
-            # plan row 1 as each agent's desired waypoint, and vets
-            # updates so follow-chains advance in lockstep — candidates
-            # check other CANDIDATES' desired waypoints, not their current
-            # ones (multi_sync_simulator.cpp:214-291). Per-step re-solving
-            # is what makes the scheme robust: when continuous dynamics
-            # wedge an agent mid-transit, the next solve re-routes around
-            # it (a committed plan cannot — measured deadlocks in
-            # maze10_dense). Two TPU-build refinements:
-            #   1. the joint plan is solved with bounded ECBS first —
-            #      deterministic and SOC-minimal, so re-solves from a
-            #      partially-advanced config continue the same routing,
-            #      where the reference's PIBT (priority = distance-to-
-            #      goal) measurably flip-flops between symmetric routes
-            #      under partial execution;
-            #   2. solutions are memoized by the exact (group, config,
-            #      goals, grid) signature — when nothing moved, the
-            #      deterministic solver would return the identical plan,
-            #      so the solve is skipped entirely.
-            sig = (tuple(group), tuple(cells_cur), tuple(cells_goal),
-                   self._coarse_version)
-            if sig in self._group_plans:
-                paths = self._group_plans[sig]
-            else:
+            # --- committed joint plan + simultaneous-handoff MCP ----------
+            # The reference re-solves MAPF from scratch every step and
+            # follows plan row 1 under mutual-occupancy vetting
+            # (multi_sync_simulator.cpp:214-291). That row-1 semantics
+            # fits GREEDY solvers (PIBT: every row is progress-dense) but
+            # breaks for SCHEDULED plans: ECBS's SOC objective makes
+            # leading waits and step-asides cost-free, so executing only
+            # row 1 of a fresh solve either does nothing (all-wait rows)
+            # or flip-flops between two configs whose optimal plans undo
+            # each other (both measured on maze10_dense). Here each group
+            # COMMITS to one bounded-ECBS joint plan (PIBT fallback) and
+            # executes it ORDER-PRESERVINGLY (MCP — Ma & Koenig / Hönig
+            # et al.) with simultaneous handoff: an agent enters a cell
+            # when every earlier visitor has left it or leaves it this
+            # very step (greatest fixpoint below) — so follow-chains
+            # advance in lockstep exactly like the reference's vetting,
+            # while scheduling waits are realized by visit order instead
+            # of being lost. A valid swap-free plan executed this way
+            # cannot deadlock; re-solves happen only when the group, its
+            # goals, the grid, or the virtual config (retreats) change.
+            sig = (tuple(group), tuple(cells_goal), self._coarse_version)
+            seen_sigs.add(sig)
+            plan = self._group_plans.get(sig)
+            if plan is not None:
+                # desync (a retreat moved a waypoint off-plan)?
+                for gi in range(len(group)):
+                    if plan["paths"][gi][plan["ptr"][gi]] != cells_cur[gi]:
+                        plan = None
+                        break
+
+            if plan is None:
                 # unblock occupied current/goal cells
                 # (grid_based_planner.cpp:262-283)
                 occ_grp = occ2d.copy()
@@ -420,10 +441,13 @@ class MultiSyncSimulator:
                     )
                     if use_ecbs:
                         # native C++ ECBS (bit-identical to mapf/ecbs.py,
-                        # ~25× faster; falls back to Python)
+                        # ~25× faster; falls back to Python). Budgets are
+                        # node/expansion counts (deterministic); the
+                        # wall-clock limit is only a generous backstop so
+                        # host load cannot change planning outcomes.
                         paths = pibtmod.solve_ecbs(
                             occ, cells_start, cells_cur, cells_goal,
-                            max_hl_nodes=5000, time_limit_s=2.0,
+                            max_hl_nodes=5000, time_limit_s=20.0,
                         )
                         if paths is not None or p.mapf_mode == MAPFMode.ECBS:
                             self._log("solve", ("ecbs", len(group),
@@ -450,91 +474,88 @@ class MultiSyncSimulator:
                     paths = solve(occ_nm)
                 elif try_margined and paths is not None:
                     self._margined_fails = 0
-                self._group_plans[sig] = paths
-                while len(self._group_plans) > 256:  # bounded memo
-                    self._group_plans.pop(next(iter(self._group_plans)))
+                if paths is not None:
+                    plan = self._commit_plan(group, cells_cur, paths)
+                    self._group_plans[sig] = plan
             self.planning_time.mapf_time.update(timer.stop())
-            if paths is None:
+            if plan is None:
                 continue  # MAPF failed: keep previous waypoints (:295-297)
 
-            # desired waypoint = plan row 1 (multi_sync_simulator.cpp:214-221)
-            n_grp = len(group)
-            desired_cells = []
-            desired_pts = []
+            paths, ptr, visits = plan["paths"], plan["ptr"], plan["visits"]
+            T = len(paths[0])
+            # fast-forward waits (per-cell visit order unaffected; MCP
+            # lets agents run ahead of schedule as long as order holds)
+            for gi in range(len(group)):
+                k = ptr[gi]
+                while k + 1 < T and paths[gi][k + 1] == paths[gi][k]:
+                    k += 1
+                ptr[gi] = k
+
+            # candidate set: agents with a next plan cell whose gates
+            # pass — comm-range reachability (:217-252) and goal-LP
+            # convergence (:245-248), exact like the reference except
+            # for persistently-PINNED agents (see the pin detector
+            # above), whose gate relaxes to contact scale: the targeted
+            # liveness valve for mid-transit contact wedges. A merely
+            # near-converged gate for everyone was measured to pack
+            # bodies to contact distance and freeze whole queues.
+            cand = {}
             for gi, i in enumerate(group):
-                v = paths[gi][min(1, len(paths[gi]) - 1)]
-                desired_cells.append((int(v[0]), int(v[1])))
+                k = ptr[gi]
+                if k + 1 >= T:
+                    continue  # plan finished → goal walk below
+                v = paths[gi][k + 1]
                 wpp = self.coarse.node_to_point(np.array([v[0], v[1], 0]))
                 if p.world_dimension == 3:
-                    # the MAPF layer is planar (the reference collapses z,
-                    # problem.cpp:148-201); fly it at the goal altitude
+                    # the MAPF layer is planar (the reference collapses
+                    # z, problem.cpp:148-201); fly at the goal altitude
                     wpp[2] = self.desired_goal[i][2]
-                desired_pts.append(wpp)
-
-            # candidate set (multi_sync_simulator.cpp:222-258):
-            # in comm range, desired CELL differs from the current
-            # waypoint's cell, and the goal LP has converged onto the
-            # current waypoint. (Cell-granular comparisons: the goal walk
-            # below legally moves a waypoint off the lattice inside its
-            # goal cell, so point equality — the reference's test, valid
-            # because its goals sit on the lattice — would misfire.)
-            cand = set()
-            for gi, i in enumerate(group):
-                if desired_cells[gi] == cells_cur[gi]:
-                    continue
                 if p.communication_range > 0:
-                    # desired waypoint must stay within half the comm
-                    # range of every segment start of the previous
-                    # trajectory (so the QP comm rows remain feasible)
                     pts = [self.desired_ctrl[i, m, 0] for m in range(p.M)]
                     pts.append(self.desired_ctrl[i, -1, -1])
                     if not self.has_prev[i]:
                         pts = [self.pos[i]]
                     if any(
-                        np.max(np.abs(desired_pts[gi] - q))
+                        np.max(np.abs(wpp - q))
                         > 0.5 * p.communication_range - EPS
                         for q in pts
                     ):
                         continue
-                # goal-LP convergence gate (:245-248). Exact, like the
-                # reference: advancing on a merely NEAR-converged LP was
-                # measured to pack bodies to contact distance (each agent
-                # chases a goal pinned ½(r_i+r_j) short of its waypoint,
-                # so spacing collapses to the collision margin and whole
-                # queues freeze). Mid-transit contact knots that the
-                # exact gate cannot clear are handled by the waypoint
-                # RETREAT above, not by loosening this gate.
+                tol = (
+                    0.6 * p.grid_resolution if pinned_mask[i] else EPS
+                )
                 if np.linalg.norm(
                     self.current_goal[i] - self.next_waypoint[i]
-                ) < EPS:
-                    cand.add(gi)
+                ) > tol:
+                    continue
+                cand[gi] = (v, wpp)
 
-            # mutual-occupancy vetting (multi_sync_simulator.cpp:259-291):
-            # drop candidates whose desired cell coincides with another
-            # agent's NEXT waypoint cell — current for non-candidates,
-            # desired for candidates (so follow-chains advance in
-            # lockstep) — until a full pass is clean.
-            if n_grp > 1:
-                changed = True
-                while changed and cand:
-                    changed = False
-                    for gi in sorted(cand):
-                        for gj in range(n_grp):
-                            if gi == gj:
-                                continue
-                            cell_j = (
-                                desired_cells[gj] if gj in cand
-                                else cells_cur[gj]
-                            )
-                            if desired_cells[gi] == cell_j:
-                                cand.discard(gi)
+            # simultaneous-handoff order gate (greatest fixpoint): keep
+            # a candidate entering v only if every earlier visitor of v
+            # has left (ptr > t_out) or leaves v in this same step (it
+            # sits at the end of its visit, ptr == t_out, and is itself
+            # advancing)
+            changed = True
+            while changed and cand:
+                changed = False
+                for gi in list(cand):
+                    v = cand[gi][0]
+                    k = ptr[gi]
+                    for (t_in, t_out, gj) in visits[v]:
+                        if t_in < k + 1 and ptr[gj] <= t_out:
+                            if not (gj in cand and ptr[gj] == t_out):
+                                del cand[gi]
                                 changed = True
                                 break
-                        if changed:
-                            break
+                    if changed:
+                        break
 
-            for gi in cand:
-                self.next_waypoint[group[gi]] = desired_pts[gi]
+            for gi, (v, wpp) in cand.items():
+                i = group[gi]
+                self.next_waypoint[i] = wpp
+                ptr[gi] += 1
+                self._pin_steps[i] = 0
+                self._pin_anchor[i] = self.pos[i]
 
             # Once the waypoint reaches the goal CELL, walk it to the
             # exact goal POINT one grid step at a time (bridges altitude

@@ -277,14 +277,17 @@ struct Solver {
     if (start_f1 < 0) return 0;
 
     struct LLNode {
-      int v, gcost, f1, f2, parent;
+      int v, gcost, f1, f2, moves, parent;
     };
     std::vector<LLNode> nodes;
-    nodes.push_back({s, 0, start_f1, 0, -1});
+    nodes.push_back({s, 0, start_f1, 0, 0, -1});
     long long tie = 0;
 
-    using OpenEnt = std::tuple<int, long long, int>;           // f1, tie, idx
-    using FocalEnt = std::tuple<int, int, int, long long, int>;  // f2,f1,-g,tie,idx
+    using OpenEnt = std::tuple<int, long long, int>;  // f1, tie, idx
+    // f2, f1, moves, -g, tie, idx — `moves` is a TPU-build tie-break
+    // (prefer fewer non-wait transitions; SOC-free shuffles otherwise
+    // survive and get walked physically by the committed-plan executor)
+    using FocalEnt = std::tuple<int, int, int, int, long long, int>;
     std::priority_queue<OpenEnt, std::vector<OpenEnt>, std::greater<OpenEnt>>
         OPEN;
     std::vector<OpenEnt> open_entries;  // mirror for FOCAL rebuilds
@@ -298,7 +301,7 @@ struct Solver {
     OPEN.push({start_f1, tie, 0});
     open_entries.push_back({start_f1, tie, 0});
     ++tie;
-    FOCAL.push({0, start_f1, 0, tie, 0});
+    FOCAL.push({0, start_f1, 0, 0, tie, 0});
     ++tie;
     int f1_min = start_f1;
     int goal_idx = -1;
@@ -326,13 +329,13 @@ struct Solver {
           if (CLOSE.count(key_of(nodes[idx].v, nodes[idx].gcost))) continue;
           live.push_back(e);
           if (std::get<0>(e) <= bound)
-            FOCAL.push({nodes[idx].f2, std::get<0>(e), -nodes[idx].gcost,
-                        std::get<1>(e), idx});
+            FOCAL.push({nodes[idx].f2, std::get<0>(e), nodes[idx].moves,
+                        -nodes[idx].gcost, std::get<1>(e), idx});
         }
         open_entries.swap(live);
         if (FOCAL.empty()) break;
       }
-      auto [f2v, f1v, neg_g, tv, idx] = FOCAL.top();
+      auto [f2v, f1v, mv, neg_g, tv, idx] = FOCAL.top();
       FOCAL.pop();
       int v = nodes[idx].v, gcost = nodes[idx].gcost;
       if (CLOSE.count(key_of(v, gcost))) continue;
@@ -352,13 +355,14 @@ struct Solver {
         int nf1 = f1_of(u, ng);
         if (nf1 < 0) continue;
         int nf2 = f2v + f2_step(u, v, ng);
-        nodes.push_back({u, ng, nf1, nf2, idx});
+        int nmv = nodes[idx].moves + (u != v ? 1 : 0);
+        nodes.push_back({u, ng, nf1, nf2, nmv, idx});
         int nidx = static_cast<int>(nodes.size()) - 1;
         OPEN.push({nf1, tie, nidx});
         open_entries.push_back({nf1, tie, nidx});
         ++tie;
         if (nf1 <= f1_min * w) {
-          FOCAL.push({nf2, nf1, -ng, tie, nidx});
+          FOCAL.push({nf2, nf1, nmv, -ng, tie, nidx});
           ++tie;
         }
       }
