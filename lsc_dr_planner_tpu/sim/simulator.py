@@ -572,8 +572,70 @@ class MultiSyncSimulator:
                         self.desired_goal[i] - self.next_waypoint[i],
                         -p.grid_resolution, p.grid_resolution,
                     )
-                    self.next_waypoint[i] = self.next_waypoint[i] + delta
+                    wpp = self.next_waypoint[i] + delta
+                    # same comm-range reachability gate as the plan-cell
+                    # candidates (multi_sync_simulator.cpp:217-252): a
+                    # waypoint farther than ½·comm_range from the
+                    # current trajectory makes the QP's comm box
+                    # infeasible (pinned start can't reach it), which
+                    # the f32 ADMM reports as divergence and the
+                    # failsafe then freezes the agent permanently —
+                    # measured on the 3-D vertical-crossing test where
+                    # the walk ran 2 m ahead of a CLSC-blocked body.
+                    if p.communication_range > 0 and self.has_prev[i]:
+                        pts = [self.desired_ctrl[i, mm, 0]
+                               for mm in range(p.M)]
+                        pts.append(self.desired_ctrl[i, -1, -1])
+                        if any(
+                            np.max(np.abs(wpp - q))
+                            > 0.5 * p.communication_range - EPS
+                            for q in pts
+                        ):
+                            continue  # blocked: resume once the body follows
+                    self.next_waypoint[i] = wpp
 
+        # evict plans whose signature no longer exists (group membership,
+        # goals, or grid changed) — their MCP state can never be consumed
+        self._group_plans = {
+            s: pl for s, pl in self._group_plans.items() if s in seen_sigs
+        }
+
+    # ==================================================================
+    @staticmethod
+    def _commit_plan(group, cells_cur, paths):
+        """Normalize a fresh joint plan for MCP execution: per-agent cell
+        sequences starting at the current virtual config, padded to equal
+        length, plus per-cell visit intervals (t_in, t_out, agent index)
+        in plan order."""
+        n = len(group)
+        # Row 0 of a PIBT solution is the mission-start config
+        # (pibt.cpp:44) while rows 1.. evolve from the CURRENT config;
+        # replace row 0 with the current config JOINTLY so all agents
+        # share one timeline ([cur, cfg1, cfg2, …]). ECBS paths already
+        # start at the current config.
+        if all(len(paths[gi]) and paths[gi][0] == cells_cur[gi]
+               for gi in range(n)):
+            norm = [list(paths[gi]) for gi in range(n)]
+        else:
+            norm = [
+                [cells_cur[gi]] + list(paths[gi])[1:] for gi in range(n)
+            ]
+        T = max(len(pth) for pth in norm)
+        for pth in norm:
+            pth.extend([pth[-1]] * (T - len(pth)))
+
+        visits = {}
+        for gi in range(n):
+            t = 0
+            while t < T:
+                t_out = t
+                while t_out + 1 < T and norm[gi][t_out + 1] == norm[gi][t]:
+                    t_out += 1
+                visits.setdefault(norm[gi][t], []).append((t, t_out, gi))
+                t = t_out + 1
+        for v in visits:
+            visits[v].sort()
+        return {"paths": norm, "ptr": [0] * n, "visits": visits}
 
     # ==================================================================
     def _rebuild_coarse_from_known(self):
