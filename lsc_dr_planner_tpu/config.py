@@ -126,6 +126,18 @@ class Param:
     # ECBS fails/exceeds budget or the group is larger than the cap.
     mapf_commit_ecbs: bool = True
     mapf_ecbs_max_agents: int = 16
+    # Waypoint-layer execution mode (sim/simulator.py):
+    #   "auto"    — choose per map at init: corridor-dominated grids
+    #               (1-cell-wide passages, e.g. the 0.5 m dense mazes)
+    #               run committed-MCP from the start — wedges never
+    #               form; open grids run the hybrid flow layer.
+    #   "hybrid"  — per-step re-solve (reference semantics, fast flow on
+    #               open maps) with automatic committed-MCP escalation
+    #               for no-progress knots (deadlock-free);
+    #   "mcp"     — committed-MCP for every group from the start;
+    #   "perstep" — per-step only (reference parity; can deadlock in
+    #               dense corridor crossings — diagnostic use).
+    mapf_layer: str = "auto"
 
     # Obstacle prediction
     obs_size_prediction: bool = True
@@ -202,6 +214,12 @@ class Param:
 
     # Exploration
     sensor_range: float = 3.0
+
+    # Per-stage timing samples (compiled-prefix differences) — each
+    # distinct world pays ~6 extra XLA prefix compiles for the first
+    # sample; batch benchmark runs disable it (the fused step has no
+    # internal timers, so stage times are diagnostic-only)
+    profile_stages: bool = True
 
     # Batching: maximum number of neighbor obstacles an agent considers in
     # one planning step (constraint tensors are padded to this; extra rows

@@ -81,6 +81,16 @@ def available() -> bool:
     return _load() is not None
 
 
+def backend_name() -> str:
+    """'native' when the C++ solver library is loaded, else 'python'.
+
+    The two backends are bit-identical in results but ~25× apart in
+    speed; runs record which one served them so a silent fallback to
+    Python (no g++, compile failure) cannot masquerade as a perf
+    regression."""
+    return "native" if _load() is not None else "python"
+
+
 def solve_pibt(
     occ2d: np.ndarray,
     starts: Sequence[Tuple[int, int]],

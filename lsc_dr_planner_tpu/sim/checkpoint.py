@@ -28,6 +28,7 @@ _ARRAY_FIELDS = (
     "next_waypoint", "prev_ctrl", "desired_ctrl", "has_prev",
     "sfc_lo", "sfc_hi", "sfc_initialized",
     "_pin_steps", "_pin_anchor", "vel_excess_ratio", "acc_excess_ratio",
+    "_mcp_mode", "_dist_best", "_no_progress", "mapf_elapsed",
 )
 
 # plain scalar attributes

@@ -126,6 +126,20 @@ class MultiSyncSimulator:
         self.obstacle_generator = ObstacleGenerator(mission.obstacles, seed=seed)
         self._obs_rng = np.random.default_rng(seed + 0x0B5)
 
+        # MAPF backend: assert which solver implementation serves this
+        # run (native C++ vs Python fallback — bit-identical results,
+        # ~25× apart in speed; a silent fallback is a perf cliff)
+        self.mapf_backend = pibtmod.backend_name()
+        if (param.goal_mode == GoalMode.GRID_BASED_PLANNER
+                and self.mapf_backend != "native"):
+            import warnings
+
+            warnings.warn(
+                "native MAPF backend unavailable — using the ~25× slower "
+                "Python solvers (g++ missing or compile failed)",
+                RuntimeWarning,
+            )
+
         self.planner = FleetPlanner(
             param, self.world, self.A, max_dynobs=mission.on,
             agent_radius=float(s["radius"][0]),
@@ -172,6 +186,14 @@ class MultiSyncSimulator:
         self.events: List[tuple] = []
         self._pin_steps = np.zeros(self.A, dtype=int)
         self._pin_anchor = self.pos.copy()
+        # hybrid waypoint layer state: per-step (reference semantics)
+        # until escalation, committed-MCP for knotted groups
+        self._mcp_mode = np.zeros(self.A, dtype=bool)
+        self._dist_best = np.full(self.A, np.inf)
+        self._no_progress = np.zeros(self.A, dtype=int)
+        self.mapf_elapsed = np.zeros(self.A, dtype=np.int64)
+        self._ps_memo = {}  # per-step solve memo, keyed by exact config
+        self._layer = self._resolve_layer()
         self.planner_state = (
             PlannerState.PATROL if p.multisim_patrol else PlannerState.GOTO
         )
@@ -279,32 +301,65 @@ class MultiSyncSimulator:
     def _groups(self) -> List[List[int]]:
         """Connected components under L∞ communication range.
 
-        Reference: multi_sync_simulator.cpp:160-194.
+        Reference: multi_sync_simulator.cpp:160-194 (O(A²) pairwise scan
+        + BFS). Here: spatial-hash union-find — bin agents into cells of
+        side R; two agents with L∞ distance < R land in the same or
+        adjacent bins, same-bin members are automatically in range
+        (every coordinate differs by < R), and only adjacent-bin pairs
+        need the explicit check (vectorized per bin pair). O(A·k) for
+        bounded density; survives A = 10⁴.
         """
         p = self.param
         A = self.A
         if p.communication_range <= 0:
             return [list(range(A))]
-        d = np.max(
-            np.abs(self.pos[:, None] - self.pos[None, :]), axis=-1
-        )
-        adj = d < p.communication_range
-        seen = np.zeros(A, bool)
-        groups = []
+        R = p.communication_range
+        cells = np.floor(self.pos / R).astype(np.int64)
+        bins: dict = {}
         for i in range(A):
-            if seen[i]:
-                continue
-            stack = [i]
-            comp = []
-            seen[i] = True
-            while stack:
-                u = stack.pop()
-                comp.append(u)
-                for v in np.nonzero(adj[u] & ~seen)[0]:
-                    seen[v] = True
-                    stack.append(v)
-            groups.append(sorted(comp))
-        return groups
+            bins.setdefault(tuple(cells[i]), []).append(i)
+
+        parent = np.arange(A)
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        # half-space of the 26 neighbor offsets (each unordered bin pair
+        # visited once); same-bin pairs are in range by construction
+        half_offsets = [
+            off
+            for off in np.ndindex(3, 3, 3)
+            if (o := (off[0] - 1, off[1] - 1, off[2] - 1)) > (0, 0, 0)
+        ]
+        for c, members in bins.items():
+            for i in members[1:]:
+                union(members[0], i)
+            for off in half_offsets:
+                nb = bins.get((c[0] + off[0] - 1, c[1] + off[1] - 1,
+                               c[2] + off[2] - 1))
+                if not nb:
+                    continue
+                d = np.max(
+                    np.abs(self.pos[members][:, None] - self.pos[nb][None]),
+                    axis=-1,
+                )
+                for ii, jj in zip(*np.nonzero(d < R)):
+                    union(members[ii], nb[jj])
+
+        comps: dict = {}
+        for i in range(A):
+            comps.setdefault(find(i), []).append(i)
+        return [sorted(v) for v in sorted(comps.values())]
 
     # ==================================================================
     def decentralized_mapp(self):
@@ -386,6 +441,25 @@ class MultiSyncSimulator:
                 self._pin_steps[i] = 0
                 self._log("retreat", (int(i), key))
 
+        # --- MCP escalation detector (progress-windowed) ------------------
+        # The hybrid layer (see the group loop): groups flow under the
+        # reference's per-step re-solve semantics — fast on open maps —
+        # until an agent makes NO progress toward its goal for ESCALATE_K
+        # consecutive steps (limit cycles / wedged queues, measured on
+        # maze10_dense). Its whole group then switches to the
+        # committed-plan MCP mode, which is deadlock-free by
+        # construction, until the committed plan completes.
+        ESCALATE_K = 25
+        dgoal = np.linalg.norm(self.pos - self.desired_goal, axis=-1)
+        at_goal_now = dgoal < p.goal_threshold
+        rebase = dgoal > self._dist_best + 1.0  # patrol swap / goal change
+        self._dist_best = np.where(rebase, dgoal, self._dist_best)
+        improved = dgoal < self._dist_best - 0.05
+        self._dist_best = np.minimum(self._dist_best, dgoal)
+        self._no_progress = np.where(
+            improved | at_goal_now, 0, self._no_progress + 1
+        )
+
         occ2d = self.coarse.occ2d().copy()
         seen_sigs = set()
         for group in self._groups():
@@ -396,6 +470,84 @@ class MultiSyncSimulator:
                          for i in group]
             cells_goal = [tuple(self.coarse.point_to_node(self.desired_goal[i])[:2])
                           for i in group]
+
+            if self._layer == "hybrid" and any(
+                self._no_progress[i] >= ESCALATE_K and not at_goal_now[i]
+                for i in group
+            ) and not all(self._mcp_mode[list(group)]):
+                self._mcp_mode[list(group)] = True
+                self._no_progress[list(group)] = 0
+                # re-sync the group's virtual waypoints to the bodies'
+                # actual cells (where free): the per-step phase can leave
+                # waypoints ahead of contact-wedged bodies, and a
+                # committed plan solved from that fictional config
+                # inherits the wedge instead of resolving it
+                wp_cells = {
+                    tuple(self.coarse.point_to_node(self.next_waypoint[j])[:2]): j
+                    for j in range(self.A)
+                }
+                n_retreat = 0
+                for i in group:
+                    cell = self.coarse.point_to_node(self.pos[i])
+                    cell[2] = 0
+                    key = tuple(cell[:2])
+                    mine = tuple(
+                        self.coarse.point_to_node(self.next_waypoint[i])[:2]
+                    )
+                    if key == mine:
+                        continue
+                    holder = wp_cells.get(key)
+                    if holder is not None and holder != i:
+                        continue
+                    wpp = self.coarse.node_to_point(cell)
+                    wpp[2] = (
+                        self.pos[i][2] if p.world_dimension == 3
+                        else p.world_z_2d
+                    )
+                    del wp_cells[mine]
+                    wp_cells[key] = i
+                    self.next_waypoint[i] = wpp
+                    n_retreat += 1
+                if n_retreat:
+                    cells_cur = [
+                        tuple(self.coarse.point_to_node(self.next_waypoint[i])[:2])
+                        for i in group
+                    ]
+                self._log("escalate", (tuple(group), n_retreat))
+
+            use_mcp = (
+                self._layer == "mcp"
+                or any(self._mcp_mode[i] for i in group)
+            )
+            if not use_mcp:
+                # ---- per-step mode (reference semantics) -----------------
+                # Per-step re-solve, memoized by the exact (group, config,
+                # goals, grid) signature: the solver is deterministic, so
+                # when nothing moved the identical plan would come back —
+                # skip the solve entirely.
+                ps_sig = (tuple(group), tuple(cells_cur),
+                          tuple(cells_goal), self._coarse_version)
+                if ps_sig in self._ps_memo:
+                    paths = self._ps_memo[ps_sig]
+                else:
+                    paths = self._solve_group(
+                        occ2d, group, cells_start, cells_cur, cells_goal,
+                        use_ecbs=(
+                            p.mapf_mode == MAPFMode.ECBS
+                            or (p.mapf_commit_ecbs
+                                and len(group) <= p.mapf_ecbs_max_agents)
+                        ),
+                    )
+                    self._ps_memo[ps_sig] = paths
+                    while len(self._ps_memo) > 256:  # bounded memo
+                        self._ps_memo.pop(next(iter(self._ps_memo)))
+                self.planning_time.mapf_time.update(timer.stop())
+                if paths is not None:
+                    self._perstep_execute(
+                        group, cells_cur, cells_goal, paths, EPS
+                    )
+                self._goal_walk(group, cells_goal, EPS)
+                continue
 
             # --- committed joint plan + simultaneous-handoff MCP ----------
             # The reference re-solves MAPF from scratch every step and
@@ -428,52 +580,14 @@ class MultiSyncSimulator:
                         break
 
             if plan is None:
-                # unblock occupied current/goal cells
-                # (grid_based_planner.cpp:262-283)
-                occ_grp = occ2d.copy()
-                for c in cells_cur + cells_goal:
-                    occ_grp[c] = False
-
-                def solve(occ):
-                    use_ecbs = p.mapf_mode == MAPFMode.ECBS or (
-                        p.mapf_commit_ecbs
-                        and len(group) <= p.mapf_ecbs_max_agents
-                    )
-                    if use_ecbs:
-                        # native C++ ECBS (bit-identical to mapf/ecbs.py,
-                        # ~25× faster; falls back to Python). Budgets are
-                        # node/expansion counts (deterministic); the
-                        # wall-clock limit is only a generous backstop so
-                        # host load cannot change planning outcomes.
-                        paths = pibtmod.solve_ecbs(
-                            occ, cells_start, cells_cur, cells_goal,
-                            max_hl_nodes=5000, time_limit_s=20.0,
-                        )
-                        if paths is not None or p.mapf_mode == MAPFMode.ECBS:
-                            self._log("solve", ("ecbs", len(group),
-                                                paths is not None))
-                            return paths
-                        self._log("solve", ("ecbs_fail", len(group), False))
-                    paths = pibtmod.solve_pibt(
-                        occ, cells_start, cells_cur, cells_goal, seed=0,
-                    )
-                    self._log("solve", ("pibt", len(group),
-                                        paths is not None))
-                    return paths
-
-                try_margined = self._margined_fails < 3
-                paths = solve(occ_grp) if try_margined else None
-                if paths is None and self.coarse_nomargin is not self.coarse:
-                    # margin-free fallback (narrow corridors the margined
-                    # grid blocks entirely)
-                    if try_margined:
-                        self._margined_fails += 1
-                    occ_nm = self.coarse_nomargin.occ2d().copy()
-                    for c in cells_cur + cells_goal:
-                        occ_nm[c] = False
-                    paths = solve(occ_nm)
-                elif try_margined and paths is not None:
-                    self._margined_fails = 0
+                paths = self._solve_group(
+                    occ2d, group, cells_start, cells_cur, cells_goal,
+                    use_ecbs=(
+                        p.mapf_mode == MAPFMode.ECBS
+                        or (p.mapf_commit_ecbs
+                            and len(group) <= p.mapf_ecbs_max_agents)
+                    ),
+                )
                 if paths is not None:
                     plan = self._commit_plan(group, cells_cur, paths)
                     self._group_plans[sig] = plan
@@ -500,9 +614,15 @@ class MultiSyncSimulator:
             # near-converged gate for everyone was measured to pack
             # bodies to contact distance and freeze whole queues.
             cand = {}
+            gate_blocks = {"comm": 0, "lp": 0, "done": 0}
             for gi, i in enumerate(group):
                 k = ptr[gi]
                 if k + 1 >= T:
+                    gate_blocks["done"] += 1
+                    # committed plan finished: the knot this MCP episode
+                    # was escalated for is resolved — return the agent
+                    # to the per-step flow layer
+                    self._mcp_mode[i] = False
                     continue  # plan finished → goal walk below
                 v = paths[gi][k + 1]
                 wpp = self.coarse.node_to_point(np.array([v[0], v[1], 0]))
@@ -520,6 +640,7 @@ class MultiSyncSimulator:
                         > 0.5 * p.communication_range - EPS
                         for q in pts
                     ):
+                        gate_blocks["comm"] += 1
                         continue
                 tol = (
                     0.6 * p.grid_resolution if pinned_mask[i] else EPS
@@ -527,8 +648,10 @@ class MultiSyncSimulator:
                 if np.linalg.norm(
                     self.current_goal[i] - self.next_waypoint[i]
                 ) > tol:
+                    gate_blocks["lp"] += 1
                     continue
                 cand[gi] = (v, wpp)
+            n_cand = len(cand)
 
             # simultaneous-handoff order gate (greatest fixpoint): keep
             # a candidate entering v only if every earlier visitor of v
@@ -550,6 +673,9 @@ class MultiSyncSimulator:
                     if changed:
                         break
 
+            if len(group) > 1 or any(gate_blocks.values()):
+                self._log("gates", (len(group), dict(gate_blocks),
+                                    n_cand, len(cand)))
             for gi, (v, wpp) in cand.items():
                 i = group[gi]
                 self.next_waypoint[i] = wpp
@@ -557,48 +683,241 @@ class MultiSyncSimulator:
                 self._pin_steps[i] = 0
                 self._pin_anchor[i] = self.pos[i]
 
-            # Once the waypoint reaches the goal CELL, walk it to the
-            # exact goal POINT one grid step at a time (bridges altitude
-            # in 3-D and off-grid goals without violating the comm-range
-            # waypoint bound; the reference's mission goals sit on the
-            # grid, so its waypoints ARE the exact goals)
-            for gi, i in enumerate(group):
-                at_goal = (
-                    tuple(self.coarse.point_to_node(self.next_waypoint[i])[:2])
-                    == cells_goal[gi]
-                )
-                if at_goal:
-                    delta = np.clip(
-                        self.desired_goal[i] - self.next_waypoint[i],
-                        -p.grid_resolution, p.grid_resolution,
-                    )
-                    wpp = self.next_waypoint[i] + delta
-                    # same comm-range reachability gate as the plan-cell
-                    # candidates (multi_sync_simulator.cpp:217-252): a
-                    # waypoint farther than ½·comm_range from the
-                    # current trajectory makes the QP's comm box
-                    # infeasible (pinned start can't reach it), which
-                    # the f32 ADMM reports as divergence and the
-                    # failsafe then freezes the agent permanently —
-                    # measured on the 3-D vertical-crossing test where
-                    # the walk ran 2 m ahead of a CLSC-blocked body.
-                    if p.communication_range > 0 and self.has_prev[i]:
-                        pts = [self.desired_ctrl[i, mm, 0]
-                               for mm in range(p.M)]
-                        pts.append(self.desired_ctrl[i, -1, -1])
-                        if any(
-                            np.max(np.abs(wpp - q))
-                            > 0.5 * p.communication_range - EPS
-                            for q in pts
-                        ):
-                            continue  # blocked: resume once the body follows
-                    self.next_waypoint[i] = wpp
+            self._goal_walk(group, cells_goal, EPS)
 
         # evict plans whose signature no longer exists (group membership,
         # goals, or grid changed) — their MCP state can never be consumed
         self._group_plans = {
             s: pl for s, pl in self._group_plans.items() if s in seen_sigs
         }
+
+    # ==================================================================
+    def _resolve_layer(self) -> str:
+        """Resolve mapf_layer="auto" per map: measure the fraction of
+        free coarse cells that sit in 1-cell-wide passages (≤ 4 free
+        cells in their 3×3 neighborhood) on the MARGIN-FREE grid.
+        Corridor-dominated maps (the 0.5 m dense mazes: ≈ 0.23-0.25)
+        run committed-MCP from the start — contact wedges never form;
+        open maps (forest ≈ 0.10, sparse mazes ≈ 0.09) run the hybrid
+        per-step flow layer, which matches the reference's flight times
+        (measured: forest10_10 15.8 s = reference)."""
+        p = self.param
+        if p.mapf_layer != "auto":
+            return p.mapf_layer
+        free = ~self.coarse_nomargin.occ2d()
+        if not free.any():
+            return "hybrid"
+        f = free.astype(int)
+        pad = np.pad(f, 1)
+        s = sum(
+            pad[1 + dx : 1 + dx + f.shape[0], 1 + dy : 1 + dy + f.shape[1]]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        corridor_frac = ((s <= 4) & free).sum() / free.sum()
+        return "mcp" if corridor_frac > 0.15 else "hybrid"
+
+    # ==================================================================
+    def _solve_group(self, occ2d, group, cells_start, cells_cur, cells_goal,
+                     use_ecbs: bool):
+        """One joint MAPF solve for a group, with margined-grid →
+        margin-free fallback (grid_based_planner.cpp:262-283 cell
+        unblocking; occupancy semantics :102-139). `use_ecbs` selects
+        bounded native ECBS (committed-MCP mode) vs PIBT with carried
+        elapsed priorities (per-step mode)."""
+        p = self.param
+
+        def solve(occ):
+            if use_ecbs:
+                # native C++ ECBS (bit-identical to mapf/ecbs.py, ~25×
+                # faster; falls back to Python). Budgets are
+                # node/expansion counts (deterministic); the wall-clock
+                # limit is only a generous backstop so host load cannot
+                # change planning outcomes.
+                paths = pibtmod.solve_ecbs(
+                    occ, cells_start, cells_cur, cells_goal,
+                    max_hl_nodes=5000, time_limit_s=20.0,
+                )
+                if paths is not None or p.mapf_mode == MAPFMode.ECBS:
+                    self._log("solve", ("ecbs", len(group),
+                                        paths is not None))
+                    return paths
+                self._log("solve", ("ecbs_fail", len(group), False))
+            # PIBT with carried elapsed priorities: the reference resets
+            # priorities every re-solve (pibt.cpp:30-44); carrying them
+            # across the simulator's successive calls gives blocked
+            # agents monotone pressure, breaking waypoint limit cycles
+            # (see mapf/pibt.py docstring)
+            paths = pibtmod.solve_pibt(
+                occ, cells_start, cells_cur, cells_goal, seed=0,
+                init_elapsed=[int(self.mapf_elapsed[i]) for i in group],
+            )
+            if not use_ecbs:
+                self._log("solve_ps", ("pibt", len(group),
+                                       paths is not None))
+            else:
+                self._log("solve", ("pibt", len(group), paths is not None))
+            return paths
+
+        occ_grp = occ2d.copy()
+        for c in cells_cur + cells_goal:
+            occ_grp[c] = False
+        try_margined = self._margined_fails < 3
+        paths = solve(occ_grp) if try_margined else None
+        if paths is None and self.coarse_nomargin is not self.coarse:
+            # margin-free fallback (narrow corridors the margined grid
+            # blocks entirely)
+            if try_margined:
+                self._margined_fails += 1
+            occ_nm = self.coarse_nomargin.occ2d().copy()
+            for c in cells_cur + cells_goal:
+                occ_nm[c] = False
+            paths = solve(occ_nm)
+        elif try_margined and paths is not None:
+            self._margined_fails = 0
+        return paths
+
+    # ==================================================================
+    def _perstep_execute(self, group, cells_cur, cells_goal, paths, EPS):
+        """Reference-semantics waypoint update: desired waypoint = plan
+        row 1 of a fresh per-step solve, gated by comm-range
+        reachability + goal-LP convergence, then mutual-occupancy
+        vetting (candidates check other candidates' DESIRED cells, so
+        follow-chains advance in lockstep).
+
+        Reference: multi_sync_simulator.cpp:214-291.
+        """
+        p = self.param
+        n_grp = len(group)
+        desired_cells = []
+        desired_pts = []
+        for gi, i in enumerate(group):
+            v = paths[gi][min(1, len(paths[gi]) - 1)]
+            desired_cells.append((int(v[0]), int(v[1])))
+            wpp = self.coarse.node_to_point(np.array([v[0], v[1], 0]))
+            if p.world_dimension == 3:
+                # the MAPF layer is planar (the reference collapses z,
+                # problem.cpp:148-201); fly at the goal altitude
+                wpp[2] = self.desired_goal[i][2]
+            desired_pts.append(wpp)
+
+        # candidate set (multi_sync_simulator.cpp:222-258). Cell-granular
+        # comparisons: the goal walk legally moves a waypoint off the
+        # lattice inside its goal cell, so point equality (the
+        # reference's test, valid because its goals sit on the lattice)
+        # would misfire.
+        cand = set()
+        gate_blocks = {"comm": 0, "lp": 0, "done": 0}
+        for gi, i in enumerate(group):
+            if desired_cells[gi] == cells_cur[gi]:
+                gate_blocks["done"] += 1
+                continue
+            if p.communication_range > 0:
+                if self.has_prev[i]:
+                    pts = [self.desired_ctrl[i, m, 0] for m in range(p.M)]
+                    pts.append(self.desired_ctrl[i, -1, -1])
+                else:
+                    pts = [self.pos[i]]
+                if any(
+                    np.max(np.abs(desired_pts[gi] - q))
+                    > 0.5 * p.communication_range - EPS
+                    for q in pts
+                ):
+                    gate_blocks["comm"] += 1
+                    continue
+            # goal-LP convergence gate (:245-248), exact: advancing on a
+            # merely NEAR-converged LP was measured to pack bodies to
+            # contact distance and freeze whole queues
+            if np.linalg.norm(
+                self.current_goal[i] - self.next_waypoint[i]
+            ) < EPS:
+                cand.add(gi)
+            else:
+                gate_blocks["lp"] += 1
+        n_cand = len(cand)
+
+        # mutual-occupancy vetting (multi_sync_simulator.cpp:259-291):
+        # drop candidates whose desired cell coincides with another
+        # agent's NEXT waypoint cell — current for non-candidates,
+        # desired for candidates — until a full pass is clean
+        if n_grp > 1:
+            changed = True
+            while changed and cand:
+                changed = False
+                for gi in sorted(cand):
+                    for gj in range(n_grp):
+                        if gi == gj:
+                            continue
+                        cell_j = (
+                            desired_cells[gj] if gj in cand
+                            else cells_cur[gj]
+                        )
+                        if desired_cells[gi] == cell_j:
+                            cand.discard(gi)
+                            changed = True
+                            break
+                    if changed:
+                        break
+
+        if n_grp > 1 or any(gate_blocks.values()):
+            self._log("gates_ps", (n_grp, dict(gate_blocks),
+                                   n_cand, len(cand)))
+        for gi in cand:
+            i = group[gi]
+            self.next_waypoint[i] = desired_pts[gi]
+            self._pin_steps[i] = 0
+            self._pin_anchor[i] = self.pos[i]
+
+    # ==================================================================
+    def _goal_walk(self, group, cells_goal, EPS):
+        """Once the waypoint reaches the goal CELL, walk it to the exact
+        goal POINT one grid step at a time (bridges altitude in 3-D and
+        off-grid goals without violating the comm-range waypoint bound;
+        the reference's mission goals sit on the grid, so its waypoints
+        ARE the exact goals). Also updates the carried PIBT elapsed
+        priorities (in-plan PIBT elapsed analog, pibt.cpp:78)."""
+        p = self.param
+        for gi, i in enumerate(group):
+            at_goal = (
+                tuple(self.coarse.point_to_node(self.next_waypoint[i])[:2])
+                == cells_goal[gi]
+            )
+            if at_goal:
+                delta = np.clip(
+                    self.desired_goal[i] - self.next_waypoint[i],
+                    -p.grid_resolution, p.grid_resolution,
+                )
+                wpp = self.next_waypoint[i] + delta
+                # same comm-range reachability gate as the plan-cell
+                # candidates (multi_sync_simulator.cpp:217-252): a
+                # waypoint farther than ½·comm_range from the current
+                # trajectory makes the QP's comm box infeasible (pinned
+                # start can't reach it), the f32 ADMM reports
+                # divergence, and the failsafe then freezes the agent
+                # permanently — measured on the 3-D vertical-crossing
+                # test where the walk ran 2 m ahead of a CLSC-blocked
+                # body.
+                blocked = False
+                if p.communication_range > 0:
+                    # fresh agents (no trajectory yet) gate against the
+                    # current position, like the plan-cell candidate
+                    # gate (multi_sync_simulator.cpp:233-235)
+                    if self.has_prev[i]:
+                        pts = [self.desired_ctrl[i, mm, 0]
+                               for mm in range(p.M)]
+                        pts.append(self.desired_ctrl[i, -1, -1])
+                    else:
+                        pts = [self.pos[i]]
+                    blocked = any(
+                        np.max(np.abs(wpp - q))
+                        > 0.5 * p.communication_range - EPS
+                        for q in pts
+                    )
+                if not blocked:
+                    self.next_waypoint[i] = wpp
+            # persistent PIBT priority: agents stuck away from their
+            # goals accumulate priority for the next per-step solve
+            self.mapf_elapsed[i] = 0 if at_goal else self.mapf_elapsed[i] + 1
 
     # ==================================================================
     @staticmethod
@@ -617,8 +936,14 @@ class MultiSyncSimulator:
                for gi in range(n)):
             norm = [list(paths[gi]) for gi in range(n)]
         else:
+            # keep a length-1 path's single cell as a real move when it
+            # differs from the current cell (otherwise the row-0
+            # replacement would silently drop it)
             norm = [
-                [cells_cur[gi]] + list(paths[gi])[1:] for gi in range(n)
+                [cells_cur[gi]]
+                + (list(paths[gi])[1:] if len(paths[gi]) > 1
+                   else [c for c in paths[gi] if c != cells_cur[gi]])
+                for gi in range(n)
             ]
         T = max(len(pth) for pth in norm)
         for pth in norm:
@@ -680,6 +1005,7 @@ class MultiSyncSimulator:
         )
         self._coarse_version = mm.version()
         self._margined_fails = 0
+        self._layer = self._resolve_layer()  # discovered walls can flip it
 
     # ==================================================================
     def _log(self, event: str, detail) -> None:
@@ -715,7 +1041,9 @@ class MultiSyncSimulator:
 
         # periodic per-stage sampling by compiled-prefix differences
         # (the fused jit has no internal timers)
-        if self.planner_seq == 2 or self.planner_seq % 25 == 0:
+        if self.param.profile_stages and (
+            self.planner_seq == 2 or self.planner_seq % 25 == 0
+        ):
             st = self.planner.measure_stage_times(self.fleet, inp, repeats=1)
             pt = self.planning_time
             pt.obstacle_prediction_time.update(st["obstacle_prediction"])
@@ -1024,4 +1352,6 @@ class MultiSyncSimulator:
             "is_collided": self.is_collided,
             "qp_failed": self.qp_failed,
             "planner_seq": self.planner_seq,
+            "mapf_backend": self.mapf_backend,
+            "mapf_time_max_ms": self.planning_time.mapf_time.max * 1e3,
         }

@@ -194,3 +194,34 @@ def test_obstacle_observation_noise_wiring(tmp_path):
     res = sim.run()
     assert not res["is_collided"]
     assert res["safety_ratio_obs"] >= 1.0
+
+
+def test_groups_spatial_hash_matches_dense():
+    """The spatial-hash union-find grouping must match the O(A²) dense
+    connected-components reference (multi_sync_simulator.cpp:160-194)."""
+    rng = np.random.default_rng(7)
+    for A, R in [(1, 2.0), (13, 1.5), (60, 3.0), (60, 0.4)]:
+        m = generate_random_mission(A, [-6, -6, 0], [6, 6, 3], seed=int(R * 10) + A)
+        p = _param(communication_range=R)
+        sim = MultiSyncSimulator(p, m, log_dir="/tmp/test_groups")
+        sim.pos = rng.uniform([-6, -6, 0], [6, 6, 3], (A, 3))
+        got = sim._groups()
+
+        d = np.max(np.abs(sim.pos[:, None] - sim.pos[None, :]), axis=-1)
+        adj = d < R
+        seen = np.zeros(A, bool)
+        want = []
+        for i in range(A):
+            if seen[i]:
+                continue
+            stack, comp = [i], []
+            seen[i] = True
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for v in np.nonzero(adj[u] & ~seen)[0]:
+                    seen[v] = True
+                    stack.append(v)
+            want.append(sorted(comp))
+        want = sorted(want)
+        assert got == want, (A, R)

@@ -46,7 +46,7 @@ SETS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", required=True, choices=sorted(SETS))
-    ap.add_argument("--budget", type=float, default=540.0,
+    ap.add_argument("--budget", type=float, default=1e9,
                     help="stop starting new missions after this many seconds")
     ap.add_argument("--log-dir", default="log/benchmark")
     ap.add_argument("--max-iter", type=int, default=600)
@@ -82,6 +82,7 @@ def main():
             world_dimension=2, world_use_octomap=True,
             communication_range=3.0, multisim_save_result=False,
             multisim_max_planner_iteration=args.max_iter,
+            profile_stages=False,  # avoid 6 prefix compiles per world
         )
         mission = Mission.load(mf, world_file=wf, world_dimension=2,
                                world_z_2d=param.world_z_2d)
