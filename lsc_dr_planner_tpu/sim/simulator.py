@@ -441,24 +441,19 @@ class MultiSyncSimulator:
                 self._pin_steps[i] = 0
                 self._log("retreat", (int(i), key))
 
-        # --- MCP escalation detector (progress-windowed) ------------------
-        # The hybrid layer (see the group loop): groups flow under the
-        # reference's per-step re-solve semantics — fast on open maps —
-        # until an agent makes NO progress toward its goal for ESCALATE_K
-        # consecutive steps (limit cycles / wedged queues, measured on
-        # maze10_dense). Its whole group then switches to the
-        # committed-plan MCP mode, which is deadlock-free by
-        # construction, until the committed plan completes.
-        ESCALATE_K = 25
+        # --- MCP escalation (hybrid layer) --------------------------------
+        # Groups flow under the reference's per-step re-solve semantics —
+        # fast on open maps — until a member is PINNED (body wedged at
+        # contact while its goal LP stays diverged: the pin detector
+        # above). Its whole group then switches to committed-plan MCP
+        # (deadlock-free by construction) until the plan completes.
+        # Queue waits must NOT trigger this: a politely waiting agent has
+        # a CONVERGED goal LP, so it never pins — an earlier
+        # no-progress-toward-goal trigger escalated healthy queues and
+        # wrecked their flow (measured: forest10_8 / sparse maze
+        # deadlocks from escalation flapping).
         dgoal = np.linalg.norm(self.pos - self.desired_goal, axis=-1)
         at_goal_now = dgoal < p.goal_threshold
-        rebase = dgoal > self._dist_best + 1.0  # patrol swap / goal change
-        self._dist_best = np.where(rebase, dgoal, self._dist_best)
-        improved = dgoal < self._dist_best - 0.05
-        self._dist_best = np.minimum(self._dist_best, dgoal)
-        self._no_progress = np.where(
-            improved | at_goal_now, 0, self._no_progress + 1
-        )
 
         occ2d = self.coarse.occ2d().copy()
         seen_sigs = set()
@@ -472,11 +467,9 @@ class MultiSyncSimulator:
                           for i in group]
 
             if self._layer == "hybrid" and any(
-                self._no_progress[i] >= ESCALATE_K and not at_goal_now[i]
-                for i in group
+                pinned_mask[i] and not at_goal_now[i] for i in group
             ) and not all(self._mcp_mode[list(group)]):
                 self._mcp_mode[list(group)] = True
-                self._no_progress[list(group)] = 0
                 # re-sync the group's virtual waypoints to the bodies'
                 # actual cells (where free): the per-step phase can leave
                 # waypoints ahead of contact-wedged bodies, and a
