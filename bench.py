@@ -73,7 +73,8 @@ def build_fleet(A: int, seed: int = 0):
         max_obstacles=16,
     )
     world = build_grid_world(boxes, wmin, wmax, p.world_resolution, 0.15)
-    planner = FleetPlanner(p, world, A, max_dynobs=0, agent_radius=0.15)
+    planner = FleetPlanner(p, world, A, max_dynobs=0, agent_radius=0.15,
+                           max_vel_hint=1.0)
 
     f32 = jnp.float32
     pos = np.concatenate([pos2, np.full((A, 1), p.world_z_2d)], 1)

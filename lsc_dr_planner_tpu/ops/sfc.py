@@ -34,7 +34,8 @@ def _dims_arr(gw: GridWorld):
     return jnp.asarray(np.asarray(gw.occ.shape), dtype=jnp.int32)
 
 
-def expand_box(gw: GridWorld, lo, hi, axis_order, max_iters: int = 4096):
+def expand_box(gw: GridWorld, lo, hi, axis_order, max_iters: int = 4096,
+               max_radius_cells: int = 0):
     """Greedy round-robin box expansion on the blocked-lattice field.
 
     lo, hi: int32 [3] (inclusive lattice range). axis_order: int32 [6]
@@ -42,11 +43,26 @@ def expand_box(gw: GridWorld, lo, hi, axis_order, max_iters: int = 4096):
     when one further cell along it would hit an obstacle or leave the
     world. Returns (lo, hi, ok) where ok = the seed box itself was free.
 
+    `max_radius_cells` > 0 additionally retires a direction once it has
+    grown that many cells beyond the seed face. The while-loop's trip
+    count is then bounded by 6·max_radius_cells independent of world
+    size — the scaling term that made SFC 78% of the fused step at
+    A=1024 on large worlds. Callers pass a physics-derived radius (full
+    horizon reach + margin) that the QP can never out-run, so the
+    clamped box constrains nothing the unclamped one wouldn't.
+
     Reference: CollisionConstraints::expandSFC,
     src/collision_constraints.cpp:820-881.
     """
     dims = _dims_arr(gw)
     seed_free = gw.box_is_free(lo, hi) & jnp.all(lo >= 0) & jnp.all(hi <= dims)
+    if max_radius_cells > 0:
+        r = jnp.int32(max_radius_cells)
+        lo_min = lo - r
+        hi_max = hi + r
+    else:
+        lo_min = jnp.full((3,), -(2**30), jnp.int32)
+        hi_max = jnp.full((3,), 2**30, jnp.int32)
 
     def try_dir(lo, hi, d):
         axis = jnp.asarray(_DIR_AXIS)[d]
@@ -54,7 +70,10 @@ def expand_box(gw: GridWorld, lo, hi, axis_order, max_iters: int = 4096):
         delta = sign * jax.nn.one_hot(axis, 3, dtype=jnp.int32)
         nlo = jnp.where(sign < 0, lo + delta, lo)
         nhi = jnp.where(sign > 0, hi + delta, hi)
-        in_bounds = jnp.all(nlo >= 0) & jnp.all(nhi <= dims)
+        in_bounds = (
+            jnp.all(nlo >= 0) & jnp.all(nhi <= dims)
+            & jnp.all(nlo >= lo_min) & jnp.all(nhi <= hi_max)
+        )
         ok = in_bounds & gw.box_is_free(nlo, nhi)
         return nlo, nhi, ok
 
@@ -106,7 +125,7 @@ def goal_directed_axis_order(box_lo_pt, box_hi_pt, goal):
     return jnp.concatenate([toward, away[::-1]]).astype(jnp.int32)
 
 
-def initialize_sfc(gw: GridWorld, position, M: int):
+def initialize_sfc(gw: GridWorld, position, M: int, max_radius_cells: int = 0):
     """Seed box = the grid cell containing the agent, expanded in default
     order; replicated over all M segments.
 
@@ -115,7 +134,8 @@ def initialize_sfc(gw: GridWorld, position, M: int):
     """
     lo = gw.point_to_lattice_floor(position)
     hi = gw.point_to_lattice_ceil(position)
-    lo, hi, ok = expand_box(gw, lo, hi, default_axis_order())
+    lo, hi, ok = expand_box(gw, lo, hi, default_axis_order(),
+                            max_radius_cells=max_radius_cells)
     return (
         jnp.broadcast_to(lo, (M, 3)),
         jnp.broadcast_to(hi, (M, 3)),
@@ -123,7 +143,8 @@ def initialize_sfc(gw: GridWorld, position, M: int):
     )
 
 
-def construct_sfc_from_point(gw: GridWorld, sfc_lo, sfc_hi, point, goal):
+def construct_sfc_from_point(gw: GridWorld, sfc_lo, sfc_hi, point, goal,
+                             max_radius_cells: int = 0):
     """Corridor shift update + new last box grown from `point` toward
     `goal` (non-DR goal modes).
 
@@ -143,7 +164,8 @@ def construct_sfc_from_point(gw: GridWorld, sfc_lo, sfc_hi, point, goal):
     order = goal_directed_axis_order(
         gw.lattice_to_point(lo), gw.lattice_to_point(hi), goal
     )
-    nlo, nhi, ok = expand_box(gw, lo, hi, order)
+    nlo, nhi, ok = expand_box(gw, lo, hi, order,
+                              max_radius_cells=max_radius_cells)
     # failure → reuse previous last box
     new_lo = jnp.where(ok, nlo, prev_lo)
     new_hi = jnp.where(ok, nhi, prev_hi)
@@ -154,7 +176,8 @@ def construct_sfc_from_point(gw: GridWorld, sfc_lo, sfc_hi, point, goal):
     )
 
 
-def construct_sfc_from_hull(gw: GridWorld, sfc_lo, sfc_hi, hull_pts, next_waypoint):
+def construct_sfc_from_hull(gw: GridWorld, sfc_lo, sfc_hi, hull_pts, next_waypoint,
+                            max_radius_cells: int = 0):
     """Corridor shift update + new last box containing the convex hull of
     `hull_pts` (= {initial-traj end, current goal}), greedily also trying
     to include `next_waypoint` (the DR goal mode update).
@@ -168,7 +191,8 @@ def construct_sfc_from_hull(gw: GridWorld, sfc_lo, sfc_hi, hull_pts, next_waypoi
     pts_g = jnp.concatenate([hull_pts, next_waypoint[None]], axis=0)
     lo1 = gw.point_to_lattice_round(jnp.min(pts_g, axis=0))
     hi1 = gw.point_to_lattice_round(jnp.max(pts_g, axis=0))
-    e1lo, e1hi, ok1 = expand_box(gw, lo1, hi1, default_axis_order())
+    e1lo, e1hi, ok1 = expand_box(gw, lo1, hi1, default_axis_order(),
+                                 max_radius_cells=max_radius_cells)
     ok1 &= _superset_of(gw, e1lo, e1hi, pts_g)
 
     # attempt 2: hull only, floor/ceil seed intersected with previous box
@@ -177,7 +201,8 @@ def construct_sfc_from_hull(gw: GridWorld, sfc_lo, sfc_hi, hull_pts, next_waypoi
     included = jnp.all(lo2 >= prev_lo) & jnp.all(hi2 <= prev_hi)
     lo2 = jnp.where(included, lo2, jnp.maximum(lo2, prev_lo))
     hi2 = jnp.where(included, hi2, jnp.minimum(hi2, prev_hi))
-    e2lo, e2hi, ok2 = expand_box(gw, lo2, hi2, default_axis_order())
+    e2lo, e2hi, ok2 = expand_box(gw, lo2, hi2, default_axis_order(),
+                                 max_radius_cells=max_radius_cells)
     ok2 &= _superset_of(gw, e2lo, e2hi, hull_pts)
 
     new_lo = jnp.where(ok1, e1lo, jnp.where(ok2, e2lo, prev_lo))

@@ -92,11 +92,25 @@ class FleetPlanner:
     """Holds the static planner configuration and the jitted step fn."""
 
     def __init__(self, param: Param, world: GridWorld, n_agents: int,
-                 max_dynobs: int = 0, agent_radius: float = 0.15):
+                 max_dynobs: int = 0, agent_radius: float = 0.15,
+                 max_vel_hint: float = 2.0):
         self.param = param
         self.world = world
         self.A = n_agents
         self.sfc_margin = agent_radius  # SFC margin compensation (static)
+        # SFC expansion clamp: corridor boxes persist M shift steps, so a
+        # box built now can still bound control points up to
+        # 3·M·dt·v_max away from its seed (horizon reach when built +
+        # agent drift over its lifetime + horizon reach of the new plan;
+        # Bernstein velocity rows bound each term). Growth beyond that
+        # is physically non-binding — a 2·reach clamp was measured to
+        # flip chaotic dense-maze missions, this bound does not.
+        # Clamping bounds the expansion while-loop's trips independent
+        # of world size (the scaling term on large worlds).
+        self.sfc_expand_cells = int(
+            np.ceil((3.0 * param.M * param.dt * max_vel_hint + 1.0)
+                    / param.world_resolution)
+        )
         # neighbor slots: other agents + dynamic obstacles
         self.O_agents = min(n_agents - 1, param.max_obstacles)
         self.OD = max_dynobs
@@ -422,12 +436,17 @@ class FleetPlanner:
                     )
                     gw_a = local_grid_world(gw, occ_a, blk, S)
                 # first iteration / disturbed: initialize from position
-                ilo, ihi, _ = sfc.initialize_sfc(gw_a, pos, M)
+                ilo, ihi, _ = sfc.initialize_sfc(
+                    gw_a, pos, M, max_radius_cells=self.sfc_expand_cells)
                 if p.goal_mode == GoalMode.GRID_BASED_PLANNER:
                     hull = jnp.stack([last_pt, cgoal], axis=0)
-                    ulo, uhi, _ = sfc.construct_sfc_from_hull(gw_a, slo, shi, hull, wpt)
+                    ulo, uhi, _ = sfc.construct_sfc_from_hull(
+                        gw_a, slo, shi, hull, wpt,
+                        max_radius_cells=self.sfc_expand_cells)
                 else:
-                    ulo, uhi, _ = sfc.construct_sfc_from_point(gw_a, slo, shi, last_pt, cgoal)
+                    ulo, uhi, _ = sfc.construct_sfc_from_point(
+                        gw_a, slo, shi, last_pt, cgoal,
+                        max_radius_cells=self.sfc_expand_cells)
                 lo = jnp.where(init_done, ulo, ilo)
                 hi = jnp.where(init_done, uhi, ihi)
                 return lo, hi

@@ -143,6 +143,7 @@ class MultiSyncSimulator:
         self.planner = FleetPlanner(
             param, self.world, self.A, max_dynobs=mission.on,
             agent_radius=float(s["radius"][0]),
+            max_vel_hint=float(np.max(s["max_vel"])),
         )
 
         self.fleet = FleetArrays(

@@ -36,6 +36,15 @@ except Exception:
 import numpy as np  # noqa: E402
 
 REF = "/root/reference"
+try:
+    import subprocess
+    GIT_COMMIT = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout.strip()
+except Exception:
+    GIT_COMMIT = "unknown"
 SETS = {
     "forest10": (f"{REF}/missions/forest10", f"{REF}/world/forest"),
     "maze10_sparse": (f"{REF}/missions/maze10_sparse", f"{REF}/world/maze/sparse"),
@@ -89,6 +98,7 @@ def main():
         sim = MultiSyncSimulator(param, mission, log_dir=args.log_dir)
         r = sim.run()
         r["mission"] = name
+        r["git_commit"] = GIT_COMMIT
         r["world"] = os.path.basename(wf)
         r["set"] = args.set
         # reference-schema summary row (one per mission)
