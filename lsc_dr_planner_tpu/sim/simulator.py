@@ -444,17 +444,29 @@ class MultiSyncSimulator:
 
         # --- MCP escalation (hybrid layer) --------------------------------
         # Groups flow under the reference's per-step re-solve semantics —
-        # fast on open maps — until a member is PINNED (body wedged at
-        # contact while its goal LP stays diverged: the pin detector
-        # above). Its whole group then switches to committed-plan MCP
-        # (deadlock-free by construction) until the plan completes.
-        # Queue waits must NOT trigger this: a politely waiting agent has
-        # a CONVERGED goal LP, so it never pins — an earlier
-        # no-progress-toward-goal trigger escalated healthy queues and
-        # wrecked their flow (measured: forest10_8 / sparse maze
-        # deadlocks from escalation flapping).
+        # fast on open maps — until a member shows a genuine knot; its
+        # whole group then switches to committed-plan MCP (deadlock-free
+        # by construction) until the plan completes. Two triggers:
+        #   1. PIN (20 steps): body wedged at contact while its goal LP
+        #      stays diverged — the contact-wedge signature.
+        #   2. NO-PROGRESS (60 steps): no 5 cm improvement of
+        #      distance-to-goal — catches per-step-ECBS livelocks where
+        #      orbiting members feed all-wait rows to the rest (the LP
+        #      converges onto a never-advancing waypoint, so trigger 1
+        #      stays silent; measured on maze10_sparse_2). The window is
+        #      deliberately LONG: a 25-step version escalated healthy
+        #      queue waits and wrecked their flow (measured deadlocks on
+        #      forest10_8 / sparse mazes).
+        NO_PROGRESS_K = 60
         dgoal = np.linalg.norm(self.pos - self.desired_goal, axis=-1)
         at_goal_now = dgoal < p.goal_threshold
+        rebase = dgoal > self._dist_best + 1.0  # patrol swap / goal change
+        self._dist_best = np.where(rebase, dgoal, self._dist_best)
+        improved = dgoal < self._dist_best - 0.05
+        self._dist_best = np.minimum(self._dist_best, dgoal)
+        self._no_progress = np.where(
+            improved | at_goal_now, 0, self._no_progress + 1
+        )
 
         occ2d = self.coarse.occ2d().copy()
         seen_sigs = set()
@@ -468,9 +480,12 @@ class MultiSyncSimulator:
                           for i in group]
 
             if self._layer == "hybrid" and any(
-                pinned_mask[i] and not at_goal_now[i] for i in group
+                (pinned_mask[i] or self._no_progress[i] >= NO_PROGRESS_K)
+                and not at_goal_now[i]
+                for i in group
             ) and not all(self._mcp_mode[list(group)]):
                 self._mcp_mode[list(group)] = True
+                self._no_progress[list(group)] = 0
                 # re-sync the group's virtual waypoints to the bodies'
                 # actual cells (where free): the per-step phase can leave
                 # waypoints ahead of contact-wedged bodies, and a
@@ -689,27 +704,37 @@ class MultiSyncSimulator:
     def _resolve_layer(self) -> str:
         """Resolve mapf_layer="auto" per map: measure the fraction of
         free coarse cells that sit in 1-cell-wide passages (≤ 4 free
-        cells in their 3×3 neighborhood) on the MARGIN-FREE grid.
-        Corridor-dominated maps (the 0.5 m dense mazes: ≈ 0.23-0.25)
-        run committed-MCP from the start — contact wedges never form;
-        open maps (forest ≈ 0.10, sparse mazes ≈ 0.09) run the hybrid
-        per-step flow layer, which matches the reference's flight times
-        (measured: forest10_10 15.8 s = reference)."""
+        cells in their 3×3 neighborhood), on both the margined and the
+        margin-free grids. Corridor/maze maps run committed-MCP from
+        the start — contact wedges and per-step-ECBS livelocks never
+        form there; open maps run the hybrid per-step flow layer, which
+        matches the reference's flight times (forest10_10 15.8 s =
+        reference). Thresholds from the full 90-world sweep: forest
+        margined ≤ 0.159 / nomargin ≤ 0.112, sparse mazes margined
+        ≥ 0.211 (nomargin ≈ 0.09 — walls vanish without the margin, so
+        both grids are tested), dense mazes ≥ 0.171 on both."""
         p = self.param
         if p.mapf_layer != "auto":
             return p.mapf_layer
-        free = ~self.coarse_nomargin.occ2d()
-        if not free.any():
-            return "hybrid"
-        f = free.astype(int)
-        pad = np.pad(f, 1)
-        s = sum(
-            pad[1 + dx : 1 + dx + f.shape[0], 1 + dy : 1 + dy + f.shape[1]]
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        )
-        corridor_frac = ((s <= 4) & free).sum() / free.sum()
-        return "mcp" if corridor_frac > 0.15 else "hybrid"
+
+        def corridor_frac(grid):
+            free = ~grid.occ2d()
+            if not free.any():
+                return 0.0
+            f = free.astype(int)
+            pad = np.pad(f, 1)
+            s = sum(
+                pad[1 + dx : 1 + dx + f.shape[0],
+                    1 + dy : 1 + dy + f.shape[1]]
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            )
+            return ((s <= 4) & free).sum() / free.sum()
+
+        if (corridor_frac(self.coarse) > 0.165
+                or corridor_frac(self.coarse_nomargin) > 0.15):
+            return "mcp"
+        return "hybrid"
 
     # ==================================================================
     def _solve_group(self, occ2d, group, cells_start, cells_cur, cells_goal,
@@ -728,9 +753,15 @@ class MultiSyncSimulator:
                 # node/expansion counts (deterministic); the wall-clock
                 # limit is only a generous backstop so host load cannot
                 # change planning outcomes.
+                # the node budget is the deterministic limiter; the
+                # wall-clock backstop is set far above any observed
+                # solve (max 8.9 s) so HOST LOAD cannot flip the PIBT
+                # fallback and change planning outcomes between runs
+                # (observed: contended benchmark runs deadlocked
+                # missions that solo runs finish)
                 paths = pibtmod.solve_ecbs(
                     occ, cells_start, cells_cur, cells_goal,
-                    max_hl_nodes=5000, time_limit_s=20.0,
+                    max_hl_nodes=5000, time_limit_s=60.0,
                 )
                 if paths is not None or p.mapf_mode == MAPFMode.ECBS:
                     self._log("solve", ("ecbs", len(group),

@@ -22,7 +22,7 @@ def main():
     ap.add_argument("--set", default="forest10")
     ap.add_argument("--max-iter", type=int, default=400)
     ap.add_argument("--no-commit-ecbs", action="store_true")
-    ap.add_argument("--layer", default="hybrid")
+    ap.add_argument("--layer", default="auto")
     args = ap.parse_args()
 
     from lsc_dr_planner_tpu.config import Param
