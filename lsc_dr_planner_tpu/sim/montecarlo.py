@@ -2,19 +2,28 @@
 
 The reference runs mission files strictly sequentially
 (multi_sync_simulator_node.cpp:44-75) and its only stochastic knob is
-the start/goal noise (mission.cpp:410-420). TPU-native design: the
-fleet pipeline is vmapped over a leading scenario axis, so S noise-
-perturbed replicas of a mission (or S missions over the same world)
-plan in ONE fused call per step; the host-side MAPF/waypoint layer
-loops over scenarios (native C++ PIBT keeps it cheap).
+the start/goal noise (mission.cpp:410-420). TPU-native design for the
+pod-scale config (BASELINE.json: "1024 agents × 256 scenarios"):
 
-This is the scaling surface for the pod-scale Monte-Carlo benchmark
-config (BASELINE.json: "1024 agents + 256 randomized scenarios").
+  * ONE set of preprocessed statics — rasterized world, coarse MAPF
+    grids, fleet planner — shared by every replica
+    (MultiSyncSimulator(share_static_from=...)); a replica owns only
+    its mutable per-scenario arrays. The r2 design deep-copied the
+    whole simulator per scenario.
+  * The device step is vmapped over the scenario axis; step inputs are
+    numpy host-side, stacked once, and shipped in a single device_put
+    (optionally sharded over a 'scenarios' mesh axis).
+  * The host MAPF/waypoint layer runs scenarios through a thread pool:
+    the native C++ solvers release the GIL during their ctypes calls,
+    so solver work overlaps across scenarios; the remaining pure-Python
+    gate bookkeeping is light.
 """
 
 from __future__ import annotations
 
 import copy
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional
 
 import jax
@@ -23,8 +32,8 @@ import numpy as np
 
 from lsc_dr_planner_tpu.config import Param
 from lsc_dr_planner_tpu.mission import Mission
+from lsc_dr_planner_tpu.ops.trajectory import state_at as trajectory_state_at
 from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
-from lsc_dr_planner_tpu.planner.pipeline import StepInputs
 
 
 class MonteCarloSimulator:
@@ -34,42 +43,71 @@ class MonteCarloSimulator:
 
     def __init__(self, param: Param, mission: Mission, n_scenarios: int,
                  max_noise: float = 0.25, log_dir: str = "log", seed: int = 0,
-                 mesh=None):
+                 mesh=None, host_workers: Optional[int] = None):
         """`mesh`: optional jax.sharding.Mesh with a 'scenarios' axis —
         the stacked scenario batch is sharded across its devices, so S
         replicas split over the chips (the pod-scale Monte-Carlo axis,
         BASELINE '1024 agents × 256 scenarios')."""
         self.S = n_scenarios
         self.mesh = mesh
-        self.sims: List[MultiSyncSimulator] = []
-        for s in range(n_scenarios):
+        base = MultiSyncSimulator(param, mission, log_dir=log_dir,
+                                  seed=seed, save_result=False)
+        self.sims: List[MultiSyncSimulator] = [base]
+        for s in range(1, n_scenarios):
             m = copy.deepcopy(mission)
-            if max_noise > 0 and s > 0:
+            if max_noise > 0:
                 m.add_noise(max_noise, param.world_dimension, seed=seed + s)
-            sim = MultiSyncSimulator(param, m, log_dir=log_dir, seed=seed + s,
-                                     save_result=False)
-            self.sims.append(sim)
-        base = self.sims[0]
+            self.sims.append(MultiSyncSimulator(
+                param, m, log_dir=log_dir, seed=seed + s, save_result=False,
+                share_static_from=base,
+            ))
         self.planner = base.planner
         self._vstep = jax.jit(
             jax.vmap(self.planner._step_impl, in_axes=(None, 0))
         )
+        p = base.param
+        self._vdostep = jax.jit(
+            lambda ctrl: trajectory_state_at(ctrl, p.multisim_time_step, p.dt)
+        )
         self.fleet = base.fleet
+        self._pool = ThreadPoolExecutor(
+            max_workers=host_workers or min(n_scenarios,
+                                            (os.cpu_count() or 2) * 2)
+        )
 
     # ------------------------------------------------------------------
     def step(self, iteration: int) -> None:
-        for sim in self.sims:
-            if not sim.is_finished() and iteration > 0:
-                sim.do_step()
-            sim.decentralized_mapp()
+        p = self.sims[0].param
+        # batched ideal dynamics: ONE device call samples every
+        # scenario's trajectories (the per-sim do_step costs a device
+        # round-trip each over the TPU tunnel — S of them serialized)
+        if iteration > 0:
+            ctrl = np.stack([sim.desired_ctrl for sim in self.sims])
+            pos, vel, acc = (np.asarray(v) for v in
+                             self._vdostep(jnp.asarray(ctrl, jnp.float32)))
+            for s, sim in enumerate(self.sims):
+                if sim.is_finished():
+                    continue
+                sim.pos = pos[s].astype(np.float64)
+                sim.vel = vel[s].astype(np.float64)
+                sim.acc = acc[s].astype(np.float64)
+                if p.world_dimension == 2:
+                    sim.pos[:, 2] = p.world_z_2d
+                sim.sim_time += p.multisim_time_step
+                if sim.local_maps:
+                    sim.map_manager.sense(sim.pos, p.sensor_range)
 
-        # build per-scenario StepInputs via each sim's own assembly path,
-        # intercepting the device call
-        inputs = []
-        for sim in self.sims:
-            inputs.append(sim._build_step_inputs())
+        # host MAPF layer, threaded across scenarios — the native
+        # solvers release the GIL during their ctypes calls
+        def host_phase(sim):
+            sim.decentralized_mapp()
+            return sim._build_step_inputs()
+
+        inputs = list(self._pool.map(host_phase, self.sims))
+
+        # stack numpy leaves once → one device transfer
         stacked = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves), *inputs
+            lambda *leaves: np.stack(leaves), *inputs
         )
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -77,14 +115,26 @@ class MonteCarloSimulator:
             shard = NamedSharding(self.mesh, P("scenarios"))
 
             def place(x):
-                if x is None or x.ndim == 0:
+                if x is None or np.ndim(x) == 0:
                     return x
                 return jax.device_put(x, shard)
 
             stacked = jax.tree_util.tree_map(place, stacked)
         outs = self._vstep(self.fleet, stacked)
+        # one device→host transfer of only the leaves the host applies
+        # (obs_pred_ctrl alone is ~12 KB/agent — at 1024×8 that is
+        # ~94 MB/step through the device tunnel if pulled)
+        keep = ("desired_ctrl", "current_goal", "sfc_lo", "sfc_hi",
+                "sfc_initialized", "qp_converged", "qp_residual",
+                "qp_iterations")
+        outs_np = outs._replace(**{
+            f: (np.asarray(getattr(outs, f)) if f in keep else None)
+            for f in outs._fields
+        })
         for s, sim in enumerate(self.sims):
-            out_s = jax.tree_util.tree_map(lambda x: x[s], outs)
+            out_s = jax.tree_util.tree_map(
+                lambda x: x[s] if x is not None else None, outs_np
+            )
             sim._apply_step_outputs(out_s)
             sim.save_simulation_result()
 

@@ -39,6 +39,34 @@ from lsc_dr_planner_tpu.world.grid import GridWorld, build_grid_world
 from lsc_dr_planner_tpu.world.obstacles import ObstacleGenerator
 
 
+
+def _state_at_np(ctrl, t, dt):
+    """Numpy (pos, vel, acc) trajectory sampling — audit-only path; the
+    planner itself samples on device (ops/trajectory.py::state_at).
+    Bernstein evaluation at segment-local tau, float64."""
+    from math import comb
+
+    ctrl = np.asarray(ctrl, np.float64)
+
+    def deriv(c):
+        n = c.shape[-2] - 1
+        return (c[..., 1:, :] - c[..., :-1, :]) * (n / dt)
+
+    def ev(c):
+        M, n1, _ = c.shape[-3:]
+        n = n1 - 1
+        seg = int(np.clip(np.floor(t / dt), 0, M - 1))
+        tau = float(np.clip(t / dt - seg, 0.0, 1.0))
+        binom = np.array([comb(n, i) for i in range(n + 1)])
+        basis = binom * tau ** np.arange(n + 1) \
+            * (1 - tau) ** (n - np.arange(n + 1))
+        return np.einsum("i,...id->...d", basis, c[..., seg, :, :])
+
+    d1 = deriv(ctrl)
+    d2 = deriv(d1)
+    return ev(ctrl), ev(d1), ev(d2)
+
+
 class PlannerState(Enum):
     WAIT = 0
     GOTO = 1
@@ -49,7 +77,14 @@ class PlannerState(Enum):
 
 class MultiSyncSimulator:
     def __init__(self, param: Param, mission: Mission, log_dir: str = "log",
-                 seed: int = 0, save_result: Optional[bool] = None):
+                 seed: int = 0, save_result: Optional[bool] = None,
+                 share_static_from: "Optional[MultiSyncSimulator]" = None):
+        """`share_static_from`: reuse another simulator's immutable
+        preprocessed state (rasterized world, coarse MAPF grids, fleet
+        planner + compiled step) instead of rebuilding it — the
+        Monte-Carlo scenario axis spawns S replicas over ONE world, so
+        duplicating the heavy statics S times (the r2 design) is pure
+        waste. Only per-scenario mutable state is fresh."""
         self.param = param
         self.mission = mission
         self.log_dir = log_dir
@@ -58,6 +93,20 @@ class MultiSyncSimulator:
         s = mission.stacked()
         self.A = mission.qn
         self.s = s
+
+        if share_static_from is not None:
+            base = share_static_from
+            self.world = base.world
+            self.local_maps = base.local_maps
+            self.map_manager = base.map_manager
+            self._coarse_version = base._coarse_version
+            self.coarse = base.coarse
+            self.coarse_nomargin = base.coarse_nomargin
+            self.planner = base.planner
+            self.fleet = base.fleet
+            self.mapf_backend = base.mapf_backend
+            self._init_mutable_state(seed, save_result)
+            return
 
         # world preprocessing
         if p.world_use_octomap:
@@ -123,9 +172,6 @@ class MultiSyncSimulator:
             if p.grid_margin > 0 else self.coarse
         )
 
-        self.obstacle_generator = ObstacleGenerator(mission.obstacles, seed=seed)
-        self._obs_rng = np.random.default_rng(seed + 0x0B5)
-
         # MAPF backend: assert which solver implementation serves this
         # run (native C++ vs Python fallback — bit-identical results,
         # ~25× apart in speed; a silent fallback is a perf cliff)
@@ -153,6 +199,17 @@ class MultiSyncSimulator:
             max_acc=jnp.asarray(s["max_acc"], jnp.float32),
             nominal_velocity=jnp.asarray(s["nominal_velocity"], jnp.float32),
         )
+        self._init_mutable_state(seed, save_result)
+
+    # ==================================================================
+    def _init_mutable_state(self, seed: int, save_result: Optional[bool]):
+        """Per-scenario mutable state (everything a Monte-Carlo replica
+        owns privately; the heavy preprocessed statics are shared)."""
+        p = self.param
+        s = self.s
+        mission = self.mission
+        self.obstacle_generator = ObstacleGenerator(mission.obstacles, seed=seed)
+        self._obs_rng = np.random.default_rng(seed + 0x0B5)
 
         # mutable simulation state (host numpy)
         self.pos = s["start"].astype(np.float64).copy()
@@ -472,18 +529,19 @@ class MultiSyncSimulator:
         seen_sigs = set()
         for group in self._groups():
             timer = Timer()
-            cells_start = [tuple(self.coarse.point_to_node(self.start_point[i])[:2])
-                           for i in group]
-            cells_cur = [tuple(self.coarse.point_to_node(self.next_waypoint[i])[:2])
-                         for i in group]
-            cells_goal = [tuple(self.coarse.point_to_node(self.desired_goal[i])[:2])
-                          for i in group]
+            garr = np.asarray(group)
+            cells_start = [tuple(r) for r in
+                           self.coarse.point_to_node(self.start_point[garr])[:, :2].tolist()]
+            cells_cur = [tuple(r) for r in
+                         self.coarse.point_to_node(self.next_waypoint[garr])[:, :2].tolist()]
+            cells_goal = [tuple(r) for r in
+                          self.coarse.point_to_node(self.desired_goal[garr])[:, :2].tolist()]
 
-            if self._layer == "hybrid" and any(
-                (pinned_mask[i] or self._no_progress[i] >= NO_PROGRESS_K)
-                and not at_goal_now[i]
-                for i in group
-            ) and not all(self._mcp_mode[list(group)]):
+            if self._layer == "hybrid" and bool(np.any(
+                (pinned_mask[garr]
+                 | (self._no_progress[garr] >= NO_PROGRESS_K))
+                & ~at_goal_now[garr]
+            )) and not all(self._mcp_mode[garr]):
                 self._mcp_mode[list(group)] = True
                 self._no_progress[list(group)] = 0
                 # re-sync the group's virtual waypoints to the bodies'
@@ -524,7 +582,38 @@ class MultiSyncSimulator:
                     ]
                 self._log("escalate", (tuple(group), n_retreat))
 
-            use_mcp = (
+            # Reverse escalation: the committed-MCP layer can wedge on
+            # terminal two-agent knots (goal-LP pinned against a
+            # neighbor whose committed plan is already finished —
+            # measured on maze10_dense_4/8/10/20, which the per-step
+            # layer finishes). A group stuck for MCP_FALLBACK_K steps
+            # runs per-step (greedy row-1 + carried-elapsed PIBT
+            # pressure) until progress resumes; no_progress then resets
+            # and the group returns to committed plans re-solved from
+            # the current config.
+            # Trigger on long no-progress AND a currently diverged goal
+            # LP — the terminal-wedge signature. Committed-mode queue
+            # members legitimately park for 20 s+ while a corridor
+            # clears, but their goal LP sits converged on their
+            # waypoint, so they never trip this (a pure progress
+            # trigger cost maze10_dense_1 8 s; a pure pin trigger never
+            # fires in wedges whose retreat escape keeps resetting it).
+            MCP_FALLBACK_K = 150
+            lp_diverged = (
+                np.linalg.norm(
+                    self.current_goal[garr] - self.next_waypoint[garr],
+                    axis=1,
+                ) > EPS
+            )
+            force_ps = self._layer == "mcp" and bool(np.any(
+                ((self._pin_steps[garr] >= 50)
+                 | ((self._no_progress[garr] >= MCP_FALLBACK_K)
+                    & lp_diverged))
+                & ~at_goal_now[garr]
+            ))
+            if force_ps:
+                self._log("mcp_fallback", tuple(group))
+            use_mcp = not force_ps and (
                 self._layer == "mcp"
                 or any(self._mcp_mode[i] for i in group)
             )
@@ -808,90 +897,99 @@ class MultiSyncSimulator:
         row 1 of a fresh per-step solve, gated by comm-range
         reachability + goal-LP convergence, then mutual-occupancy
         vetting (candidates check other candidates' DESIRED cells, so
-        follow-chains advance in lockstep).
+        follow-chains advance in lockstep). Fully vectorized over the
+        group — groups reach fleet size on open maps, and the earlier
+        per-agent Python loops (O(n²) vetting) were the host wall at
+        A=1024 (measured 19 s/step in the Monte-Carlo pod bench).
 
         Reference: multi_sync_simulator.cpp:214-291.
         """
         p = self.param
         n_grp = len(group)
-        desired_cells = []
-        desired_pts = []
-        for gi, i in enumerate(group):
-            v = paths[gi][min(1, len(paths[gi]) - 1)]
-            desired_cells.append((int(v[0]), int(v[1])))
-            wpp = self.coarse.node_to_point(np.array([v[0], v[1], 0]))
-            if p.world_dimension == 3:
-                # the MAPF layer is planar (the reference collapses z,
-                # problem.cpp:148-201); fly at the goal altitude
-                wpp[2] = self.desired_goal[i][2]
-            desired_pts.append(wpp)
+        g = np.asarray(group)
 
-        # candidate set (multi_sync_simulator.cpp:222-258). Cell-granular
-        # comparisons: the goal walk legally moves a waypoint off the
-        # lattice inside its goal cell, so point equality (the
-        # reference's test, valid because its goals sit on the lattice)
-        # would misfire.
-        cand = set()
-        gate_blocks = {"comm": 0, "lp": 0, "done": 0}
-        for gi, i in enumerate(group):
-            if desired_cells[gi] == cells_cur[gi]:
-                gate_blocks["done"] += 1
-                continue
-            if p.communication_range > 0:
-                if self.has_prev[i]:
-                    pts = [self.desired_ctrl[i, m, 0] for m in range(p.M)]
-                    pts.append(self.desired_ctrl[i, -1, -1])
-                else:
-                    pts = [self.pos[i]]
-                if any(
-                    np.max(np.abs(desired_pts[gi] - q))
-                    > 0.5 * p.communication_range - EPS
-                    for q in pts
-                ):
-                    gate_blocks["comm"] += 1
-                    continue
-            # goal-LP convergence gate (:245-248), exact: advancing on a
-            # merely NEAR-converged LP was measured to pack bodies to
-            # contact distance and freeze whole queues
-            if np.linalg.norm(
-                self.current_goal[i] - self.next_waypoint[i]
-            ) < EPS:
-                cand.add(gi)
-            else:
-                gate_blocks["lp"] += 1
-        n_cand = len(cand)
+        dcell = np.array(
+            [paths[gi][min(1, len(paths[gi]) - 1)] for gi in range(n_grp)],
+            dtype=np.int64,
+        )  # [n, 2]
+        wpp = self.coarse.node_to_point(
+            np.concatenate([dcell, np.zeros((n_grp, 1), np.int64)], axis=1)
+        )  # [n, 3] (z = flight altitude in 2-D worlds)
+        if p.world_dimension == 3:
+            # the MAPF layer is planar (the reference collapses z,
+            # problem.cpp:148-201); fly at the goal altitude
+            wpp[:, 2] = self.desired_goal[g, 2]
+
+        ccur = np.asarray(cells_cur, dtype=np.int64)
+        moved = np.any(dcell != ccur, axis=1)
+
+        # comm-range reachability (vectorized over agents × segment
+        # starts); fresh agents gate against the current position
+        if p.communication_range > 0:
+            seg_pts = np.concatenate(
+                [self.desired_ctrl[g][:, :, 0],
+                 self.desired_ctrl[g][:, -1:, -1]], axis=1,
+            )  # [n, M+1, 3]
+            reach_traj = np.max(
+                np.abs(wpp[:, None] - seg_pts), axis=(1, 2)
+            ) < 0.5 * p.communication_range - EPS
+            reach_pos = np.max(
+                np.abs(wpp - self.pos[g]), axis=1
+            ) < 0.5 * p.communication_range - EPS
+            reach = np.where(self.has_prev[g], reach_traj, reach_pos)
+        else:
+            reach = np.ones(n_grp, bool)
+
+        # goal-LP convergence gate (:245-248), exact: advancing on a
+        # merely NEAR-converged LP was measured to pack bodies to
+        # contact distance and freeze whole queues
+        lp_ok = (
+            np.linalg.norm(self.current_goal[g] - self.next_waypoint[g],
+                           axis=1) < EPS
+        )
+        cand = moved & reach & lp_ok
+        gate_blocks = {
+            "done": int(np.sum(~moved)),
+            "comm": int(np.sum(moved & ~reach)),
+            "lp": int(np.sum(moved & reach & ~lp_ok)),
+        }
+        n_cand = int(cand.sum())
 
         # mutual-occupancy vetting (multi_sync_simulator.cpp:259-291):
         # drop candidates whose desired cell coincides with another
         # agent's NEXT waypoint cell — current for non-candidates,
-        # desired for candidates — until a full pass is clean
-        if n_grp > 1:
-            changed = True
-            while changed and cand:
-                changed = False
-                for gi in sorted(cand):
-                    for gj in range(n_grp):
-                        if gi == gj:
-                            continue
-                        cell_j = (
-                            desired_cells[gj] if gj in cand
-                            else cells_cur[gj]
-                        )
-                        if desired_cells[gi] == cell_j:
-                            cand.discard(gi)
-                            changed = True
-                            break
-                    if changed:
-                        break
+        # desired for candidates — until a full pass is clean.
+        # Vectorized fixpoint: per pass, count cell occupancies of the
+        # projected next config and kill colliding candidates.
+        if n_grp > 1 and cand.any():
+            key_cur = ccur[:, 0] * 10_000_019 + ccur[:, 1]
+            key_des = dcell[:, 0] * 10_000_019 + dcell[:, 1]
+            while cand.any():
+                # (a) candidate dies on a NON-candidate's current cell
+                noncand_keys = np.unique(key_cur[~cand])
+                dies = cand & np.isin(key_des, noncand_keys)
+                # (b) several candidates desire the same cell: the
+                # sequential reference scan kills all but the highest
+                # index (each earlier one sees the later's desired cell
+                # and drops out first)
+                ci = np.nonzero(cand)[0]
+                order = np.argsort(key_des[ci], kind="stable")
+                sk = key_des[ci][order]
+                si = ci[order]
+                if len(sk) > 1:
+                    not_last = np.concatenate([sk[1:] == sk[:-1], [False]])
+                    dies[si[not_last]] = True
+                if not dies.any():
+                    break
+                cand = cand & ~dies
 
         if n_grp > 1 or any(gate_blocks.values()):
             self._log("gates_ps", (n_grp, dict(gate_blocks),
-                                   n_cand, len(cand)))
-        for gi in cand:
-            i = group[gi]
-            self.next_waypoint[i] = desired_pts[gi]
-            self._pin_steps[i] = 0
-            self._pin_anchor[i] = self.pos[i]
+                                   n_cand, int(cand.sum())))
+        idx = g[cand]
+        self.next_waypoint[idx] = wpp[cand]
+        self._pin_steps[idx] = 0
+        self._pin_anchor[idx] = self.pos[idx]
 
     # ==================================================================
     def _goal_walk(self, group, cells_goal, EPS):
@@ -900,49 +998,51 @@ class MultiSyncSimulator:
         off-grid goals without violating the comm-range waypoint bound;
         the reference's mission goals sit on the grid, so its waypoints
         ARE the exact goals). Also updates the carried PIBT elapsed
-        priorities (in-plan PIBT elapsed analog, pibt.cpp:78)."""
+        priorities (in-plan PIBT elapsed analog, pibt.cpp:78).
+        Vectorized over the group (host-scalability: fleet-size groups).
+        """
         p = self.param
-        for gi, i in enumerate(group):
-            at_goal = (
-                tuple(self.coarse.point_to_node(self.next_waypoint[i])[:2])
-                == cells_goal[gi]
-            )
-            if at_goal:
-                delta = np.clip(
-                    self.desired_goal[i] - self.next_waypoint[i],
-                    -p.grid_resolution, p.grid_resolution,
-                )
-                wpp = self.next_waypoint[i] + delta
-                # same comm-range reachability gate as the plan-cell
-                # candidates (multi_sync_simulator.cpp:217-252): a
-                # waypoint farther than ½·comm_range from the current
-                # trajectory makes the QP's comm box infeasible (pinned
-                # start can't reach it), the f32 ADMM reports
-                # divergence, and the failsafe then freezes the agent
-                # permanently — measured on the 3-D vertical-crossing
-                # test where the walk ran 2 m ahead of a CLSC-blocked
-                # body.
-                blocked = False
-                if p.communication_range > 0:
-                    # fresh agents (no trajectory yet) gate against the
-                    # current position, like the plan-cell candidate
-                    # gate (multi_sync_simulator.cpp:233-235)
-                    if self.has_prev[i]:
-                        pts = [self.desired_ctrl[i, mm, 0]
-                               for mm in range(p.M)]
-                        pts.append(self.desired_ctrl[i, -1, -1])
-                    else:
-                        pts = [self.pos[i]]
-                    blocked = any(
-                        np.max(np.abs(wpp - q))
-                        > 0.5 * p.communication_range - EPS
-                        for q in pts
-                    )
-                if not blocked:
-                    self.next_waypoint[i] = wpp
-            # persistent PIBT priority: agents stuck away from their
-            # goals accumulate priority for the next per-step solve
-            self.mapf_elapsed[i] = 0 if at_goal else self.mapf_elapsed[i] + 1
+        g = np.asarray(group)
+        wp_cells = self.coarse.point_to_node(self.next_waypoint[g])[:, :2]
+        at_goal = np.all(
+            wp_cells == np.asarray(cells_goal, dtype=wp_cells.dtype), axis=1
+        )
+
+        delta = np.clip(
+            self.desired_goal[g] - self.next_waypoint[g],
+            -p.grid_resolution, p.grid_resolution,
+        )
+        wpp = self.next_waypoint[g] + delta
+        # same comm-range reachability gate as the plan-cell candidates
+        # (multi_sync_simulator.cpp:217-252): a waypoint farther than
+        # ½·comm_range from the current trajectory makes the QP's comm
+        # box infeasible (pinned start can't reach it), the f32 ADMM
+        # reports divergence, and the failsafe then freezes the agent
+        # permanently — measured on the 3-D vertical-crossing test
+        # where the walk ran 2 m ahead of a CLSC-blocked body. Fresh
+        # agents gate against the current position (:233-235).
+        if p.communication_range > 0:
+            seg_pts = np.concatenate(
+                [self.desired_ctrl[g][:, :, 0],
+                 self.desired_ctrl[g][:, -1:, -1]], axis=1,
+            )  # [n, M+1, 3]
+            ok_traj = np.max(
+                np.abs(wpp[:, None] - seg_pts), axis=(1, 2)
+            ) < 0.5 * p.communication_range - EPS
+            ok_pos = np.max(
+                np.abs(wpp - self.pos[g]), axis=1
+            ) < 0.5 * p.communication_range - EPS
+            ok = np.where(self.has_prev[g], ok_traj, ok_pos)
+        else:
+            ok = np.ones(len(g), bool)
+
+        take = at_goal & ok
+        self.next_waypoint[g[take]] = wpp[take]
+        # persistent PIBT priority: agents stuck away from their goals
+        # accumulate priority for the next per-step solve
+        self.mapf_elapsed[g] = np.where(
+            at_goal, 0, self.mapf_elapsed[g] + 1
+        )
 
     # ==================================================================
     @staticmethod
@@ -1159,29 +1259,32 @@ class MultiSyncSimulator:
             np.linalg.norm(pred_start - self.pos, axis=-1) > p.reset_threshold
         )
 
-        f32 = jnp.float32
+        # numpy leaves: one host->device transfer at the jit boundary,
+        # and the Monte-Carlo layer can stack S scenarios host-side
+        # before a single device_put
+        f32 = np.float32
         inp = StepInputs(
-            pos=jnp.asarray(self.pos, f32),
-            vel=jnp.asarray(self.vel, f32),
-            acc=jnp.asarray(self.acc, f32),
-            prev_ctrl=jnp.asarray(self.prev_ctrl, f32),
-            has_prev=jnp.asarray(self.has_prev),
-            is_disturbed=jnp.asarray(disturbed),
-            desired_goal=jnp.asarray(self.desired_goal, f32),
-            current_goal=jnp.asarray(self.current_goal, f32),
-            next_waypoint=jnp.asarray(self.next_waypoint, f32),
-            sfc_lo=jnp.asarray(self.sfc_lo),
-            sfc_hi=jnp.asarray(self.sfc_hi),
-            sfc_initialized=jnp.asarray(self.sfc_initialized),
-            planner_seq=jnp.int32(self.planner_seq),
-            dynobs_pos=jnp.asarray(dyn_pos, f32),
-            dynobs_vel=jnp.asarray(dyn_vel, f32),
-            dynobs_radius=jnp.asarray(dyn_r, f32),
-            dynobs_downwash=jnp.asarray(dyn_dw, f32),
-            dynobs_max_acc=jnp.asarray(dyn_acc, f32),
-            dynobs_valid=jnp.asarray(dyn_valid),
+            pos=np.asarray(self.pos, f32),
+            vel=np.asarray(self.vel, f32),
+            acc=np.asarray(self.acc, f32),
+            prev_ctrl=np.asarray(self.prev_ctrl, f32),
+            has_prev=np.asarray(self.has_prev),
+            is_disturbed=np.asarray(disturbed),
+            desired_goal=np.asarray(self.desired_goal, f32),
+            current_goal=np.asarray(self.current_goal, f32),
+            next_waypoint=np.asarray(self.next_waypoint, f32),
+            sfc_lo=np.asarray(self.sfc_lo),
+            sfc_hi=np.asarray(self.sfc_hi),
+            sfc_initialized=np.asarray(self.sfc_initialized),
+            planner_seq=np.int32(self.planner_seq),
+            dynobs_pos=np.asarray(dyn_pos, f32),
+            dynobs_vel=np.asarray(dyn_vel, f32),
+            dynobs_radius=np.asarray(dyn_r, f32),
+            dynobs_downwash=np.asarray(dyn_dw, f32),
+            dynobs_max_acc=np.asarray(dyn_acc, f32),
+            dynobs_valid=np.asarray(dyn_valid),
             occ_known=(
-                jnp.asarray(self.map_manager.known)
+                np.asarray(self.map_manager.known)
                 if self.local_maps else None
             ),
         )
@@ -1208,11 +1311,9 @@ class MultiSyncSimulator:
         s = self.s
         rec = p.multisim_save_time_step
         future = 0.0
-        ctrl = jnp.asarray(self.desired_ctrl)
+        ctrl = self.desired_ctrl
         while future < p.multisim_time_step - 1e-6:
-            pos, vel, acc = (
-                np.asarray(v) for v in trajectory.state_at(ctrl, future, p.dt)
-            )
+            pos, vel, acc = _state_at_np(ctrl, future, p.dt)
             self.traj_history.append(pos.copy())
 
             # agent-agent safety (ellipsoidal downwash distance)
