@@ -55,8 +55,10 @@ def test_forest10_10_end_to_end():
     assert r["vel_excess_ratio"] == 0.0
     assert r["acc_excess_ratio"] == 0.0
     assert np.isfinite(r["total_flight_time"])
-    # reference: 15.8 s; bound allows modest regression, catches deadlock
-    assert r["total_flight_time"] <= 20.0
+    # reference: 15.8 s; this repo matches it exactly (committed
+    # benchmark row, log/benchmark/forest10.jsonl) — the bound holds
+    # quality within 10% of the reference
+    assert r["total_flight_time"] <= 17.5
 
 
 @pytest.mark.slow
@@ -74,8 +76,10 @@ def test_maze10_1_dense_end_to_end():
     assert r["vel_excess_ratio"] == 0.0
     assert r["acc_excess_ratio"] == 0.0
     assert np.isfinite(r["total_flight_time"])
-    # reference: 51.2 s; bound allows modest regression, catches deadlock
-    assert r["total_flight_time"] <= 65.0
+    # reference: 51.2 s; this repo beats it at 48.4 s (committed
+    # benchmark row, log/benchmark/maze10_dense.jsonl) — the bound
+    # holds quality within ~7% of the reference
+    assert r["total_flight_time"] <= 55.0
 
 
 def test_reference_log_audit_parity():

@@ -65,16 +65,28 @@ def main():
         print(json.dumps(row), flush=True)
         inp, _ = step(inp)
 
-    # constraint-family attribution for the worst agents of the LAST step
+    # slow-vs-infeasible classification: re-solve the LAST evolved state
+    # with 5× the iteration budget — residuals that stay flat are primal
+    # infeasibility (failsafe by design, reference traj_planner.cpp:
+    # 795-797); residuals that drop are pure iteration-budget shortfall
     if len(bad):
-        planner.debug = True
-        planner._step_impl(fleet, inp)
-        dbg = planner._dbg
-        cfg = planner.qp_cfg
-        # rebuild QP inputs exactly as the pipeline does
-        # (cheapest: rerun solve eagerly and inspect violations)
-        print(json.dumps({"note": "family attribution via row blocks",
-                          "blocks": qp.row_blocks(cfg)}))
+        from lsc_dr_planner_tpu.planner.pipeline import FleetPlanner
+
+        p2 = p.replace(qp_max_iter=1000)
+        planner2 = FleetPlanner(p2, planner.world, args.A, max_dynobs=0,
+                                agent_radius=0.15, max_vel_hint=1.0)
+        out2 = jax.jit(planner2._step_impl)(fleet, inp)
+        res2 = np.asarray(out2.qp_residual)
+        conv2 = np.asarray(out2.qp_converged)
+        print(json.dumps({
+            "note": "same state re-solved at max_iter=1000",
+            "conv_rate_1000": round(float(conv2.mean()), 4),
+            "bad_res_200_vs_1000": [
+                [round(float(res[i]), 4), round(float(res2[i]), 4)]
+                for i in bad[:10]
+            ],
+            "still_bad": int(np.sum(~conv2)),
+        }))
 
 
 if __name__ == "__main__":
