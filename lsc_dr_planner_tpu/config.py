@@ -138,6 +138,12 @@ class Param:
     #   "perstep" — per-step only (reference parity; can deadlock in
     #               dense corridor crossings — diagnostic use).
     mapf_layer: str = "auto"
+    # Native-ECBS budgets for the committed-plan solves. The node cap is
+    # the deterministic limiter (~0.02-0.5 ms per HL node on the coarse
+    # grids); the wall-clock limit is only a backstop far above any
+    # observed solve so host load cannot flip the PIBT fallback.
+    mapf_hl_nodes: int = 5000
+    mapf_time_limit_s: float = 60.0
 
     # Obstacle prediction
     obs_size_prediction: bool = True

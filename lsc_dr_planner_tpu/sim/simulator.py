@@ -850,7 +850,8 @@ class MultiSyncSimulator:
                 # missions that solo runs finish)
                 paths = pibtmod.solve_ecbs(
                     occ, cells_start, cells_cur, cells_goal,
-                    max_hl_nodes=5000, time_limit_s=60.0,
+                    max_hl_nodes=p.mapf_hl_nodes,
+                    time_limit_s=p.mapf_time_limit_s,
                 )
                 if paths is not None or p.mapf_mode == MAPFMode.ECBS:
                     self._log("solve", ("ecbs", len(group),

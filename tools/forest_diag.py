@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--max-iter", type=int, default=400)
     ap.add_argument("--no-commit-ecbs", action="store_true")
     ap.add_argument("--layer", default="auto")
+    ap.add_argument("--hl-nodes", type=int, default=5000)
     args = ap.parse_args()
 
     from lsc_dr_planner_tpu.config import Param
@@ -43,7 +44,7 @@ def main():
                   communication_range=3.0, multisim_save_result=False,
                   multisim_max_planner_iteration=args.max_iter,
                   mapf_commit_ecbs=not args.no_commit_ecbs,
-                  mapf_layer=args.layer)
+                  mapf_layer=args.layer, mapf_hl_nodes=args.hl_nodes)
     mission = Mission.load(mf, world_file=wf, world_dimension=2,
                            world_z_2d=param.world_z_2d)
     sim = MultiSyncSimulator(param, mission, log_dir="/tmp/forest_diag")
@@ -76,7 +77,8 @@ def main():
 
     print(f"mission={os.path.basename(mf)} flight_time={sim.total_flight_time}"
           f" steps={it} safety={sim.safety_ratio_agent:.3f}"
-          f" collided={sim.is_collided}")
+          f" collided={sim.is_collided}"
+          f" mapf_max_ms={sim.planning_time.mapf_time.max*1e3:.1f}")
     t = np.where(reach_step >= 0, reach_step * param.multisim_time_step, np.inf)
     order = np.argsort(t)
     print("per-agent reach times (s):",
