@@ -11,6 +11,7 @@
 // Fisher–Yates as the Python implementation (pibt.py::Lcg), so both
 // backends produce bit-identical plans.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -144,18 +145,36 @@ struct Solver {
 
 extern "C" {
 
+// Fill out (X*Y ints) with BFS distances to (gx, gy) on occ.
+void bfs_table(const uint8_t* occ, int X, int Y, int gx, int gy, int* out) {
+  Solver s(occ, X, Y, 0, 0);
+  std::vector<int> d;
+  s.bfs(s.cell(gx, gy), d);
+  std::copy(d.begin(), d.end(), out);
+}
+
+
 // Returns the solution length L (configs per agent, including the start
 // entry), or -1 on failure. out_paths must hold n * max_len * 2 ints.
+// dist_in: optional precomputed BFS distance tables [n][X*Y] (row i =
+// distances to agent i's goal on this exact occupancy); nullptr =
+// compute internally. Tables are cached host-side because they are the
+// dominant cost at large n (1024 agents x 8k cells ~ 400 ms/solve).
 int pibt_solve(const uint8_t* occ, int X, int Y, const int* starts,
                const int* currents, const int* goals,
                const int* init_elapsed, int n, int seed, int max_timestep,
-               int* out_paths, int max_len) {
+               int* out_paths, int max_len, const int* dist_in) {
   Solver s(occ, X, Y, n, static_cast<uint32_t>(seed));
   s.dist.resize(n);
   s.agents.resize(n);
   for (int i = 0; i < n; ++i) {
     int g = s.cell(goals[2 * i], goals[2 * i + 1]);
-    s.bfs(g, s.dist[i]);
+    if (dist_in) {
+      s.dist[i].assign(dist_in + static_cast<size_t>(i) * X * Y,
+                       dist_in + static_cast<size_t>(i + 1) * X * Y);
+    } else {
+      s.bfs(g, s.dist[i]);
+    }
     int v = s.cell(currents[2 * i], currents[2 * i + 1]);
     if (s.dist[i][v] >= kInf) return -1;  // unreachable
     Agent& a = s.agents[i];
