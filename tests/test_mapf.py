@@ -261,3 +261,35 @@ def test_native_ecbs_matches_python():
         p_cc, lb_cc = native.solve_ecbs(occ, cur, cur, gl, return_lb=True)
         assert p_py == p_cc
         assert lb_py == lb_cc
+
+
+def test_native_bfs_cache_respects_occupancy_changes():
+    """The BFS distance-table cache keys on exact occupancy bytes, so a
+    cell-unblocked variant of the grid must not reuse stale tables (and
+    native results must keep matching the Python solver)."""
+    import numpy as np
+
+    from lsc_dr_planner_tpu.mapf import native, pibt as pypibt
+
+    if not native.available():
+        return  # Python-only environment: nothing to cache
+
+    occ = np.zeros((9, 9), bool)
+    occ[4, :] = True
+    occ[4, 4] = False  # one gap
+    cur = [(0, 1), (0, 7)]
+    goal = [(8, 7), (8, 1)]
+    a1 = native.solve_pibt(occ, cur, cur, goal, seed=0)
+    b1 = pypibt.solve_pibt(occ, cur, cur, goal, seed=0)
+    assert a1 == b1
+
+    occ2 = occ.copy()
+    occ2[4, 1] = False  # open a second gap -> different distances
+    a2 = native.solve_pibt(occ2, cur, cur, goal, seed=0)
+    b2 = pypibt.solve_pibt(occ2, cur, cur, goal, seed=0)
+    assert a2 == b2
+    assert a1 != a2  # the extra gap shortens agent 0's route
+
+    # original grid again: cache hit must reproduce the first answer
+    a3 = native.solve_pibt(occ, cur, cur, goal, seed=0)
+    assert a3 == a1

@@ -63,3 +63,35 @@ def test_montecarlo_sharded_scenarios(tmp_path):
     assert [r["is_collided"] for r in r_ref] == [
         r["is_collided"] for r in r_shd
     ]
+
+
+def test_replica_shares_statics_and_matches_fresh_build():
+    """A share_static_from replica must behave exactly like a freshly
+    built simulator over the same mission (the statics are pure
+    preprocessing), while actually sharing the heavy objects."""
+    import numpy as np
+
+    from lsc_dr_planner_tpu.config import Param
+    from lsc_dr_planner_tpu.mission import generate_random_mission
+    from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
+
+    m = generate_random_mission(4, [-3, -3, 0], [3, 3, 2.5], seed=11,
+                                min_separation=1.2)
+    p = Param(world_use_octomap=False, multisim_max_planner_iteration=30,
+              qp_max_iter=60)
+    base = MultiSyncSimulator(p, m, log_dir="/tmp/mc_rep")
+    fresh = MultiSyncSimulator(p, m, log_dir="/tmp/mc_rep")
+    replica = MultiSyncSimulator(p, m, log_dir="/tmp/mc_rep",
+                                 share_static_from=base)
+    assert replica.planner is base.planner
+    assert replica.coarse is base.coarse
+    assert replica.world is base.world
+
+    for it in range(4):
+        for sim in (fresh, replica):
+            if it > 0:
+                sim.do_step()
+            sim.decentralized_mapp()
+            assert sim.plan()
+    np.testing.assert_array_equal(fresh.pos, replica.pos)
+    np.testing.assert_array_equal(fresh.desired_ctrl, replica.desired_ctrl)

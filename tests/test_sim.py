@@ -225,3 +225,30 @@ def test_groups_spatial_hash_matches_dense():
             want.append(sorted(comp))
         want = sorted(want)
         assert got == want, (A, R)
+
+
+def test_auto_layer_selection_on_reference_worlds():
+    """mapf_layer=auto must route corridor mazes to committed-MCP and
+    open forests to the hybrid flow layer (thresholds from the 90-world
+    sweep; see simulator._resolve_layer)."""
+    import os
+
+    from lsc_dr_planner_tpu.mission import Mission
+
+    REF = "/root/reference"
+    if not os.path.isdir(REF):
+        return
+    cases = [
+        (f"{REF}/missions/forest10/forest10_1.json",
+         f"{REF}/world/forest/forest1.csv", "hybrid"),
+        (f"{REF}/missions/maze10_sparse/maze10_1.json",
+         f"{REF}/world/maze/sparse/maze1.csv", "mcp"),
+        (f"{REF}/missions/maze10_dense/maze10_1.json",
+         f"{REF}/world/maze/dense/maze1.csv", "mcp"),
+    ]
+    for mf, wf, want in cases:
+        p = Param(world_dimension=2, world_use_octomap=True)
+        m = Mission.load(mf, world_file=wf, world_dimension=2,
+                         world_z_2d=p.world_z_2d)
+        sim = MultiSyncSimulator(p, m, log_dir="/tmp/test_auto_layer")
+        assert sim._layer == want, (mf, sim._layer)
