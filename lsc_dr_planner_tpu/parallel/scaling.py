@@ -6,7 +6,11 @@ The reference has no distributed backend to compare against (SURVEY
 for ≥85% scaling efficiency to 4 hosts. On real hardware the mesh axes
 ride ICI; under the virtual CPU mesh
 (--xla_force_host_platform_device_count) the harness proves the SPMD
-program and measures relative efficiency only.
+program and measures relative efficiency only — and on hosts with
+fewer physical cores than virtual devices the wall-clock table mostly
+measures oversubscription (this builder host has 2 cores; see
+MULTICHIP_scaling.json for the host-independent collective/FLOP audit
+via tools/collective_audit.py).
 
 Run as a script for the MULTICHIP table:
     python -m lsc_dr_planner_tpu.parallel.scaling

@@ -8,10 +8,14 @@ where the previous one stopped. Appends one summary row per mission to
 log/benchmark/summary_<set>.csv in the reference schema
 (multi_sync_simulator.cpp:658-709) plus a JSON line per mission.
 
-Usage:
-    python tools/run_benchmark.py --set forest10 --budget 540
-    python tools/run_benchmark.py --set maze10_sparse --budget 540
-    python tools/run_benchmark.py --set maze10_dense --budget 540
+Run from a git worktree pinned at a commit (rows record the commit) so
+live-tree edits cannot contaminate a sweep, with PYTHONPATH cleared
+(the axon site hook stalls CPU-only interpreters when the TPU tunnel
+is busy):
+
+    PYTHONPATH= python tools/run_benchmark.py --set forest10
+    PYTHONPATH= python tools/run_benchmark.py --set maze10_sparse
+    PYTHONPATH= python tools/run_benchmark.py --set maze10_dense
 """
 
 import argparse
