@@ -142,7 +142,11 @@ class Param:
     # the deterministic limiter (~0.02-0.5 ms per HL node on the coarse
     # grids); the wall-clock limit is only a backstop far above any
     # observed solve so host load cannot flip the PIBT fallback.
-    mapf_hl_nodes: int = 5000
+    # Default 100: bounds the worst committed-plan solve to ~90-190 ms
+    # (measured across the 90-mission suite, commit 17c25c3) so the MAPF
+    # layer respects the 0.2 s replanning budget; flight times match the
+    # unbounded setting. Raise for offline/quality-first runs.
+    mapf_hl_nodes: int = 100
     mapf_time_limit_s: float = 60.0
 
     # Obstacle prediction
@@ -173,6 +177,14 @@ class Param:
     qp_alpha: float = 1.6
     qp_eps_abs: float = 1e-4
     qp_polish: bool = True
+    # Masked-compaction rescue budget for ADMM stragglers (extra
+    # iterations on a compacted batch of the worst agents; 0 disables).
+    # PERF_NOTES_r3 §2: stragglers converge by ~1000 iterations.
+    qp_rescue_iter: int = 800
+    # Dual warm start: carry each agent's ADMM duals across replanning
+    # steps (the constraint families keep their row structure step to
+    # step, so last step's duals are a near-optimal basin for the next).
+    qp_warm_start_duals: bool = True
 
     # Deadlock
     deadlock_velocity_threshold: float = 0.1

@@ -30,34 +30,49 @@ _LIB = os.path.join(_REPO_ROOT, "native", "libmapf.so")
 _lib = None
 _tried = False
 
-# BFS distance-table cache: (occ bytes, goal cell) -> [X*Y] int32.
+# BFS distance-table cache: (occ digest, goal cell) -> [X*Y] int32.
 # The tables are the dominant PIBT cost at large fleets (1024 agents x
 # 8k cells ~ 400 ms/solve) and goals/grids rarely change between the
-# per-step re-solves; keying on the exact occupancy bytes keeps cell
-# unblocking (grid_based_planner.cpp:262-283) correct.
+# per-step re-solves; keying on a digest of the exact occupancy bytes
+# keeps cell unblocking (grid_based_planner.cpp:262-283) correct
+# without retaining the raw bytes in every key. Both caches are
+# BYTE-bounded (not entry-bounded — at 1024 agents on 8k-cell grids an
+# entry-count cap was a multi-GB OOM risk on the 2-core hosts) and
+# LOCK-guarded: the Monte-Carlo layer solves scenarios concurrently in
+# a thread pool, and an unguarded get()/move_to_end() races popitem().
+import hashlib
+import threading
 from collections import OrderedDict
 
 _BFS_CACHE: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
-_BFS_CACHE_MAX = 8192
+_BFS_CACHE_MAX_BYTES = 128 * 1024 * 1024
+_bfs_cache_bytes = 0
 # second level: the STACKED [n, X*Y] table for a whole (occ, goal list)
 # — per-step re-solves repeat the same group/goals, so even the 34 MB
 # stack assembly at n=1024 is worth skipping
 _STACK_CACHE: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
-_STACK_CACHE_MAX = 64
+_STACK_CACHE_MAX_BYTES = 256 * 1024 * 1024
+_stack_cache_bytes = 0
+_CACHE_LOCK = threading.Lock()
 
 
 def _dist_tables(lib, occ: np.ndarray, goals) -> np.ndarray:
+    global _bfs_cache_bytes, _stack_cache_bytes
     X, Y = occ.shape
-    key0 = occ.tobytes()
+    key0 = hashlib.blake2b(occ.tobytes(), digest_size=16).digest()
     skey = (key0, tuple(map(tuple, goals)))
-    hit = _STACK_CACHE.get(skey)
-    if hit is not None:
-        _STACK_CACHE.move_to_end(skey)
-        return hit
+    with _CACHE_LOCK:
+        hit = _STACK_CACHE.get(skey)
+        if hit is not None:
+            _STACK_CACHE.move_to_end(skey)
+            return hit
     out = np.empty((len(goals), X * Y), dtype=np.int32)
     for i, g in enumerate(goals):
         key = (key0, int(g[0]), int(g[1]))
-        tab = _BFS_CACHE.get(key)
+        with _CACHE_LOCK:
+            tab = _BFS_CACHE.get(key)
+            if tab is not None:
+                _BFS_CACHE.move_to_end(key)
         if tab is None:
             tab = np.empty(X * Y, dtype=np.int32)
             lib.bfs_table(
@@ -65,15 +80,21 @@ def _dist_tables(lib, occ: np.ndarray, goals) -> np.ndarray:
                 X, Y, int(g[0]), int(g[1]),
                 tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             )
-            _BFS_CACHE[key] = tab
-            while len(_BFS_CACHE) > _BFS_CACHE_MAX:
-                _BFS_CACHE.popitem(last=False)
-        else:
-            _BFS_CACHE.move_to_end(key)
+            with _CACHE_LOCK:
+                if key not in _BFS_CACHE:
+                    _BFS_CACHE[key] = tab
+                    _bfs_cache_bytes += tab.nbytes
+                    while _bfs_cache_bytes > _BFS_CACHE_MAX_BYTES:
+                        _, old = _BFS_CACHE.popitem(last=False)
+                        _bfs_cache_bytes -= old.nbytes
         out[i] = tab
-    _STACK_CACHE[skey] = out
-    while len(_STACK_CACHE) > _STACK_CACHE_MAX:
-        _STACK_CACHE.popitem(last=False)
+    with _CACHE_LOCK:
+        if skey not in _STACK_CACHE:
+            _STACK_CACHE[skey] = out
+            _stack_cache_bytes += out.nbytes
+            while _stack_cache_bytes > _STACK_CACHE_MAX_BYTES:
+                _, old = _STACK_CACHE.popitem(last=False)
+                _stack_cache_bytes -= old.nbytes
     return out
 
 

@@ -64,6 +64,12 @@ class QPConfig(NamedTuple):
     alpha: float
     max_iter: int
     eps_abs: float
+    # masked-compaction rescue: agents still infeasible after max_iter
+    # are gathered into a small batch and iterated up to rescue_iter
+    # more (0 disables). Forensics (PERF_NOTES_r3 §2): the bench
+    # stragglers are slow convergers, not infeasible — 1000 iterations
+    # converge 0.999.
+    rescue_iter: int = 0
 
     @property
     def N(self):
@@ -192,6 +198,11 @@ def _equality_basis(M: int, n: int, phi: int, dt: float, stop: bool):
 def reduced_dim(cfg: QPConfig) -> int:
     N_null, _ = _equality_basis(cfg.M, cfg.n, cfg.phi, cfg.dt, cfg.stop_at_horizon)
     return cfg.dim * N_null.shape[1]
+
+
+def n_rows(cfg: QPConfig) -> int:
+    """Total inequality rows per agent (the dual-vector length)."""
+    return sum(row_blocks(cfg).values())
 
 
 # ----------------------------------------------------------------------
@@ -559,81 +570,151 @@ def solve(cfg: QPConfig, inputs: QPInputs, feas_tol: float = 5e-3) -> QPResult:
     z0 = fwd(xi0)
     y0 = jnp.zeros_like(z0) if inputs.y0 is None else inputs.y0.astype(dtype)
 
-    eps_rel = 1e-3
-    stop_tol = 0.6 * feas_tol
-    CHUNK = 8
-    n_chunks = max(1, -(-cfg.max_iter // CHUNK))
+    def admm_loop(B, normals_b, Kinv_b, Pn_b, qn_b, ln_b, un_b, rho_b,
+                  scale_b, xi_i, z_i, y_i, max_iter):
+        """The chunked ADMM iteration for a batch of B agents. Returns
+        (xi, z, y, itdone, iters)."""
+        eps_rel = 1e-3
+        stop_tol = 0.6 * feas_tol
+        CHUNK = 8
+        n_chunks = max(1, -(-max_iter // CHUNK))
 
-    def one_iter(carry, _):
-        xi, z, y, Ax = carry
-        rhs = cfg.sigma * xi - qn + adj(rho * z - y)
-        xi_t = jnp.einsum(
-            "aij,aj->ai", Kinv, rhs.reshape(A, -1)
-        ).reshape(A, dim, K)
-        z_t = fwd(xi_t)
-        xi_n = cfg.alpha * xi_t + (1 - cfg.alpha) * xi
-        z_mix = cfg.alpha * z_t + (1 - cfg.alpha) * z
-        z_n = jnp.clip(z_mix + y / rho, ln, un)
-        y_n = y + rho * (z_mix - z_n)
-        # A·ξ of the actual iterate, carried to avoid a second fwd pass
-        Ax_n = cfg.alpha * z_t + (1 - cfg.alpha) * Ax
-        return (xi_n, z_n, y_n, Ax_n), None
+        def fwd_b(xi):
+            c = jnp.einsum("aomd,adk->aomk", normals_b, xi)
+            r_lsc = jnp.einsum("mik,aomk->aomi", N3, c).reshape(B, -1)
+            r_stat = xi.reshape(B, -1) @ An_stat.T
+            return jnp.concatenate([r_lsc, r_stat], axis=-1)
 
-    def chunk_step(state):
-        xi, z, y, Ax, ck, itdone, best_obj, noimp, _ = state
-        xi_prev = xi
-        (xi, z, y, Ax), _ = jax.lax.scan(
-            one_iter, (xi, z, y, Ax), None, length=CHUNK, unroll=CHUNK
-        )
-        it = (ck + 1) * CHUNK
-        # per-agent feasibility of the actual iterate (row-scaled)
-        viol = jnp.maximum(jnp.maximum(ln - Ax, Ax - un), 0.0)
-        feas = jnp.max(viol / scale, axis=-1) < stop_tol
-        # dual residual, relative
-        Px = jnp.einsum("akl,adl->adk", Pn_dim, xi)
-        Aty = adj(y)
-        rd = jnp.max(jnp.abs(Px + qn + Aty).reshape(A, -1), axis=-1)
-        dmag = jnp.maximum(
-            jnp.max(jnp.abs(Px).reshape(A, -1), axis=-1),
-            jnp.maximum(
-                jnp.max(jnp.abs(Aty).reshape(A, -1), axis=-1),
-                jnp.max(jnp.abs(qn).reshape(A, -1), axis=-1),
-            ),
-        )
-        opt = rd < cfg.eps_abs + eps_rel * dmag
-        # f32 stall: the iterate stopped moving across the whole chunk
-        dxi = jnp.max(jnp.abs(xi - xi_prev).reshape(A, -1), axis=-1)
-        ximag = jnp.maximum(1.0, jnp.max(jnp.abs(xi).reshape(A, -1), axis=-1))
-        stalled = dxi < 1e-4 * ximag
-        # monotone best-objective patience (robust to ADMM oscillation):
-        # a feasible agent whose best objective hasn't improved for two
-        # consecutive chunks has nothing measurable left to gain
-        obj_now = jnp.einsum("adk,adk->a", 0.5 * Px + qn, xi)
-        improved = obj_now < best_obj - 2e-4 * jnp.maximum(1.0, jnp.abs(obj_now))
-        best_obj = jnp.where(feas & improved, obj_now, best_obj)
-        noimp = jnp.where(feas & ~improved, noimp + 1, jnp.int32(0))
-        done_a = feas & (opt | stalled | (noimp >= 2))
-        itdone = jnp.where(
-            done_a & (itdone == cfg.max_iter), jnp.int32(it), itdone
-        )
-        return (
-            xi, z, y, Ax, ck + 1, itdone, best_obj, noimp, jnp.all(done_a)
-        )
+        def adj_b(w):
+            wl = w[:, :R_lsc].reshape(B, cfg.n_obs, M, N)
+            t = jnp.einsum("mik,aomi->aomk", N3, wl)
+            g_lsc = jnp.einsum("aomd,aomk->adk", normals_b, t)
+            g_stat = (w[:, R_lsc:] @ An_stat).reshape(B, dim, K)
+            return g_lsc + g_stat
 
-    def cond(state):
-        ck, all_done = state[4], state[8]
-        return (ck < n_chunks) & jnp.logical_not(all_done)
+        def one_iter(carry, _):
+            xi, z, y, Ax = carry
+            rhs = cfg.sigma * xi - qn_b + adj_b(rho_b * z - y)
+            xi_t = jnp.einsum(
+                "aij,aj->ai", Kinv_b, rhs.reshape(B, -1)
+            ).reshape(B, dim, K)
+            z_t = fwd_b(xi_t)
+            xi_n = cfg.alpha * xi_t + (1 - cfg.alpha) * xi
+            z_mix = cfg.alpha * z_t + (1 - cfg.alpha) * z
+            z_n = jnp.clip(z_mix + y / rho_b, ln_b, un_b)
+            y_n = y + rho_b * (z_mix - z_n)
+            # A·ξ of the actual iterate, carried to avoid a second fwd pass
+            Ax_n = cfg.alpha * z_t + (1 - cfg.alpha) * Ax
+            return (xi_n, z_n, y_n, Ax_n), None
 
-    never = jnp.full((A,), cfg.max_iter, jnp.int32)
-    state = (
-        xi0, z0, y0, z0, jnp.int32(0), never,
-        jnp.full((A,), jnp.inf, dtype), jnp.zeros((A,), jnp.int32),
-        jnp.asarray(False),
+        def chunk_step(state):
+            xi, z, y, Ax, ck, itdone, best_obj, noimp, _ = state
+            xi_prev = xi
+            (xi, z, y, Ax), _ = jax.lax.scan(
+                one_iter, (xi, z, y, Ax), None, length=CHUNK, unroll=CHUNK
+            )
+            it = (ck + 1) * CHUNK
+            # per-agent feasibility of the actual iterate (row-scaled)
+            viol = jnp.maximum(jnp.maximum(ln_b - Ax, Ax - un_b), 0.0)
+            feas = jnp.max(viol / scale_b, axis=-1) < stop_tol
+            # dual residual, relative
+            Px = jnp.einsum("akl,adl->adk", Pn_b, xi)
+            Aty = adj_b(y)
+            rd = jnp.max(jnp.abs(Px + qn_b + Aty).reshape(B, -1), axis=-1)
+            dmag = jnp.maximum(
+                jnp.max(jnp.abs(Px).reshape(B, -1), axis=-1),
+                jnp.maximum(
+                    jnp.max(jnp.abs(Aty).reshape(B, -1), axis=-1),
+                    jnp.max(jnp.abs(qn_b).reshape(B, -1), axis=-1),
+                ),
+            )
+            opt = rd < cfg.eps_abs + eps_rel * dmag
+            # f32 stall: the iterate stopped moving across the whole chunk
+            dxi = jnp.max(jnp.abs(xi - xi_prev).reshape(B, -1), axis=-1)
+            ximag = jnp.maximum(
+                1.0, jnp.max(jnp.abs(xi).reshape(B, -1), axis=-1)
+            )
+            stalled = dxi < 1e-4 * ximag
+            # monotone best-objective patience (robust to ADMM
+            # oscillation): a feasible agent whose best objective hasn't
+            # improved for two consecutive chunks has nothing measurable
+            # left to gain
+            obj_now = jnp.einsum("adk,adk->a", 0.5 * Px + qn_b, xi)
+            improved = obj_now < best_obj - 2e-4 * jnp.maximum(
+                1.0, jnp.abs(obj_now)
+            )
+            best_obj = jnp.where(feas & improved, obj_now, best_obj)
+            noimp = jnp.where(feas & ~improved, noimp + 1, jnp.int32(0))
+            done_a = feas & (opt | stalled | (noimp >= 2))
+            itdone = jnp.where(
+                done_a & (itdone == max_iter), jnp.int32(it), itdone
+            )
+            return (
+                xi, z, y, Ax, ck + 1, itdone, best_obj, noimp,
+                jnp.all(done_a),
+            )
+
+        def cond(state):
+            ck, all_done = state[4], state[8]
+            return (ck < n_chunks) & jnp.logical_not(all_done)
+
+        never = jnp.full((B,), max_iter, jnp.int32)
+        state = (
+            xi_i, z_i, y_i, fwd_b(xi_i), jnp.int32(0), never,
+            jnp.full((B,), jnp.inf, dtype), jnp.zeros((B,), jnp.int32),
+            jnp.asarray(False),
+        )
+        xi, z, y, _, ck_f, itdone, _, _, _ = jax.lax.while_loop(
+            cond, chunk_step, state
+        )
+        return xi, z, y, itdone, ck_f * CHUNK
+
+    xi, z, y, itdone, iters = admm_loop(
+        A, normals, Kinv, Pn_dim, qn, ln, un, rho, scale,
+        xi0, z0, y0, cfg.max_iter,
     )
-    xi, z, y, _, ck_f, itdone, _, _, _ = jax.lax.while_loop(
-        cond, chunk_step, state
-    )
-    iters = ck_f * CHUNK
+
+    # ---- masked-compaction rescue -------------------------------------
+    # Stragglers (feasibility still above tolerance at the cap) are slow
+    # convergers, not infeasible (PERF_NOTES_r3 §2). Small fleets just
+    # keep iterating in place (the early exit makes the extra bound free
+    # when it isn't needed); large fleets gather the worst RESCUE agents
+    # into a compact batch so 1000-iteration tails don't drag 1024
+    # converged agents through the loop with them.
+    RESCUE = 64
+    if cfg.rescue_iter > 0 and A <= RESCUE:
+        xi, z, y, itdone2, iters2 = admm_loop(
+            A, normals, Kinv, Pn_dim, qn, ln, un, rho, scale,
+            xi, z, y, cfg.rescue_iter,
+        )
+        itdone = jnp.minimum(itdone, cfg.max_iter) + jnp.minimum(
+            itdone2, iters2
+        )
+        iters = iters + iters2
+    elif cfg.rescue_iter > 0:
+        Axc = fwd(xi)
+        violc = jnp.maximum(jnp.maximum(ln - Axc, Axc - un), 0.0)
+        resc = jnp.max(violc / scale, axis=-1)
+        bad = resc >= 0.6 * feas_tol
+        # worst-first compaction (non-stragglers key below every straggler)
+        _, idx = jax.lax.top_k(jnp.where(bad, resc, -1.0), RESCUE)
+        take = bad[idx]  # rescue slots actually holding stragglers
+
+        def g(t):
+            return t[idx]
+
+        xi_r, z_r, y_r, it_r, iters2 = admm_loop(
+            RESCUE, g(normals), g(Kinv), g(Pn_dim), g(qn), g(ln), g(un),
+            g(rho), g(scale), g(xi), g(z), g(y), cfg.rescue_iter,
+        )
+        sel3 = take[:, None, None]
+        xi = xi.at[idx].set(jnp.where(sel3, xi_r, xi[idx]))
+        z = z.at[idx].set(jnp.where(take[:, None], z_r, z[idx]))
+        y = y.at[idx].set(jnp.where(take[:, None], y_r, y[idx]))
+        itdone = itdone.at[idx].add(
+            jnp.where(take, jnp.minimum(it_r, iters2), 0)
+        )
+        iters = iters + iters2
 
     x = (
         jnp.einsum("vk,adk->adv", N_null, xi) + xpart

@@ -77,6 +77,7 @@ def make_sharded_step(planner: FleetPlanner, mesh: Mesh, axis: str = "agents"):
         qp_iterations=P(axis),
         obs_pred_ctrl=P(axis),
         initial_ctrl=P(axis),
+        qp_y=P(axis),
     )
     out_shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), out_specs,

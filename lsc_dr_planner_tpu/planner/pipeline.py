@@ -73,6 +73,25 @@ class StepInputs(NamedTuple):
     # per-agent known occupancy [A, X, Y, Z] (local-sensing mode only;
     # None when world_use_global_map — the static world is jit-closed)
     occ_known: Optional[jnp.ndarray] = None
+    # previous step's ADMM duals [A, R] (qp.n_rows rows; None = cold)
+    qp_y0: Optional[jnp.ndarray] = None
+
+
+class NeighborData(NamedTuple):
+    """Per-agent neighbor tensors [A, OA, ...] — exactly the reference's
+    broadcast Obstacle message fields (agent_manager.cpp:184-199).
+    Normally built in-graph by `FleetPlanner._gather_neighbors` (global
+    top-k); the §5.8 halo exchange (parallel/halo.py) builds it from
+    spatially-tiled `ppermute` blocks instead and injects it."""
+
+    prev_ctrl: jnp.ndarray  # [A, OA, M, N, 3]
+    has_prev: jnp.ndarray  # [A, OA]
+    pos: jnp.ndarray  # [A, OA, 3]
+    vel: jnp.ndarray  # [A, OA, 3]
+    radius: jnp.ndarray  # [A, OA]
+    downwash: jnp.ndarray  # [A, OA]
+    goal: jnp.ndarray  # [A, OA, 3]
+    valid: jnp.ndarray  # [A, OA] bool
 
 
 class StepOutputs(NamedTuple):
@@ -86,6 +105,7 @@ class StepOutputs(NamedTuple):
     qp_iterations: jnp.ndarray  # [A]
     obs_pred_ctrl: jnp.ndarray  # [A, O, M, N, 3]
     initial_ctrl: jnp.ndarray  # [A, M, N, 3]
+    qp_y: Optional[jnp.ndarray] = None  # [A, R] duals — next warm start
 
 
 class FleetPlanner:
@@ -136,6 +156,7 @@ class FleetPlanner:
             alpha=p.qp_alpha,
             max_iter=p.qp_max_iter,
             eps_abs=p.qp_eps_abs,
+            rescue_iter=p.qp_rescue_iter,
         )
         self._step = jax.jit(self._step_impl)
         self._prefix_steps = {}  # stop_after -> jitted prefix fn
@@ -195,7 +216,7 @@ class FleetPlanner:
         multi_sync_simulator.cpp:311-318; agents filtered by range
         :320-333)."""
         p = self.param
-        A, OA, OD = self.A, self.O_agents, self.OD
+        A, OA, OD = inp.pos.shape[0], self.O_agents, self.OD
         pos = inp.pos
         dist = jnp.max(jnp.abs(pos[:, None] - pos[None, :]), axis=-1)  # [A, A]
         dist = dist + jnp.eye(A) * 1e9
@@ -217,24 +238,47 @@ class FleetPlanner:
         return order, valid, gather
 
     # ==================================================================
+    def _gather_neighbors(self, fleet: FleetArrays,
+                          inp: StepInputs) -> NeighborData:
+        """Global top-k neighbor gather (single-device / all-gather
+        path). The halo exchange (parallel/halo.py) replaces this with
+        spatially-tiled ppermute blocks."""
+        order, valid, _ = self._neighbor_slots(inp, fleet)
+        return NeighborData(
+            prev_ctrl=inp.prev_ctrl[order],
+            has_prev=inp.has_prev[order],
+            pos=inp.pos[order],
+            vel=inp.vel[order],
+            radius=fleet.radius[order],
+            downwash=fleet.downwash[order],
+            goal=inp.current_goal[order],
+            valid=valid,
+        )
+
+    # ==================================================================
     def _step_impl(self, fleet: FleetArrays, inp: StepInputs,
-                   stop_after: int = 0) -> StepOutputs:
+                   stop_after: int = 0,
+                   neighbors: Optional[NeighborData] = None) -> StepOutputs:
         # stop_after > 0: return a checksum after pipeline stage k — used
         # by measure_stage_times() for prefix-difference stage timing
         p = self.param
-        A, O, OA, OD = self.A, self.O, self.O_agents, self.OD
+        A, O, OA, OD = inp.pos.shape[0], self.O, self.O_agents, self.OD
         M, n, N, phi = p.M, p.n, p.n + 1, p.phi
         dt = p.dt
         f32 = jnp.float32
 
-        order, agent_valid, gather = self._neighbor_slots(inp, fleet)
+        nd = (
+            neighbors if neighbors is not None
+            else self._gather_neighbors(fleet, inp)
+        )
+        agent_valid = nd.valid
 
         # ---------- stage 1: obstacle prediction --------------------------
         # agent neighbors: previous-solution shift (LSC family) or const-vel
-        nbr_prev = inp.prev_ctrl[order]  # [A, OA, M, N, 3]
-        nbr_has_prev = inp.has_prev[order]
-        nbr_pos = inp.pos[order]
-        nbr_vel = inp.vel[order]
+        nbr_prev = nd.prev_ctrl  # [A, OA, M, N, 3]
+        nbr_has_prev = nd.has_prev
+        nbr_pos = nd.pos
+        nbr_vel = nd.vel
 
         if p.planner_mode in (PlannerMode.DLSC, PlannerMode.LSC):
             if p.multisim_time_step == p.dt:
@@ -277,10 +321,10 @@ class FleetPlanner:
                 [jnp.ones((A, OA), bool), jnp.zeros((A, OD), bool)], axis=1
             )
             obs_radius = jnp.concatenate(
-                [fleet.radius[order],
+                [nd.radius,
                  jnp.broadcast_to(inp.dynobs_radius[None], (A, OD))], axis=1)
             obs_downwash = jnp.concatenate(
-                [fleet.downwash[order],
+                [nd.downwash,
                  jnp.broadcast_to(inp.dynobs_downwash[None], (A, OD))], axis=1)
             obs_max_acc = jnp.concatenate(
                 [jnp.zeros((A, OA), f32),
@@ -289,17 +333,17 @@ class FleetPlanner:
                 [nbr_pos, jnp.broadcast_to(inp.dynobs_pos[None], (A, OD, 3))],
                 axis=1)
             obs_goal = jnp.concatenate(
-                [inp.current_goal[order],
+                [nd.goal,
                  jnp.broadcast_to(inp.dynobs_pos[None], (A, OD, 3))], axis=1)
         else:
             obs_pred = agent_pred
             obs_valid = agent_valid
             obs_is_agent = jnp.ones((A, OA), bool)
-            obs_radius = fleet.radius[order]
-            obs_downwash = fleet.downwash[order]
+            obs_radius = nd.radius
+            obs_downwash = nd.downwash
             obs_max_acc = jnp.zeros((A, OA), f32)
             obs_pos_now = nbr_pos
-            obs_goal = inp.current_goal[order]
+            obs_goal = nd.goal
             if self.O > OA:  # degenerate padding slot
                 pad = self.O - OA
 
@@ -573,7 +617,7 @@ class FleetPlanner:
             self._dbg = dict(
                 ls=ls, obs_valid=obs_valid, obs_pred=obs_pred,
                 sfc_lo_w=sfc_lo_w, sfc_hi_w=sfc_hi_w, new_goal=new_goal,
-                initial_ctrl=initial_ctrl, order=order, lb=lb, ub=ub,
+                initial_ctrl=initial_ctrl, nd=nd, lb=lb, ub=ub,
                 terminal_mask=terminal_mask, rhs=rhs, active=active,
             )
 
@@ -596,6 +640,15 @@ class FleetPlanner:
                 else jnp.full((A,), 1e19, f32)
             ),
             x0=initial_ctrl[..., :dim].transpose(0, 3, 1, 2).astype(f32),
+            y0=(
+                # duals only carry over when the problem is a shifted
+                # continuation of last step's (fresh or disturbed agents
+                # cold-start)
+                inp.qp_y0
+                * (inp.has_prev & ~inp.is_disturbed)[:, None].astype(f32)
+                if inp.qp_y0 is not None and p.qp_warm_start_duals
+                else None
+            ),
         )
         out = qp.solve(self.qp_cfg, qp_inp)
 
@@ -619,6 +672,7 @@ class FleetPlanner:
             qp_iterations=out.iterations,
             obs_pred_ctrl=obs_pred,
             initial_ctrl=initial_ctrl,
+            qp_y=out.y,
         )
 
 

@@ -20,13 +20,13 @@ import pickle
 
 import numpy as np
 
-_VERSION = 2
+_VERSION = 3
 
 # mutable ndarray attributes copied verbatim
 _ARRAY_FIELDS = (
     "pos", "vel", "acc", "start_point", "desired_goal", "current_goal",
     "next_waypoint", "prev_ctrl", "desired_ctrl", "has_prev",
-    "sfc_lo", "sfc_hi", "sfc_initialized",
+    "sfc_lo", "sfc_hi", "sfc_initialized", "qp_y",
     "_pin_steps", "_pin_anchor", "vel_excess_ratio", "acc_excess_ratio",
     "_mcp_mode", "_dist_best", "_no_progress", "mapf_elapsed",
 )

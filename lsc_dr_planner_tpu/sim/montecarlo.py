@@ -27,12 +27,10 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from lsc_dr_planner_tpu.config import Param
 from lsc_dr_planner_tpu.mission import Mission
-from lsc_dr_planner_tpu.ops.trajectory import state_at as trajectory_state_at
 from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
 
 
@@ -65,10 +63,6 @@ class MonteCarloSimulator:
         self._vstep = jax.jit(
             jax.vmap(self.planner._step_impl, in_axes=(None, 0))
         )
-        p = base.param
-        self._vdostep = jax.jit(
-            lambda ctrl: trajectory_state_at(ctrl, p.multisim_time_step, p.dt)
-        )
         self.fleet = base.fleet
         self._pool = ThreadPoolExecutor(
             max_workers=host_workers or min(n_scenarios,
@@ -77,17 +71,28 @@ class MonteCarloSimulator:
 
     # ------------------------------------------------------------------
     def step(self, iteration: int) -> None:
+        """One lockstep iteration over the scenarios still flying.
+
+        Finished replicas are dropped from BOTH phases (host MAPF and
+        the device batch): at S=256 with heterogeneous finish times,
+        planning finished scenarios forever was a large tail tax. The
+        device batch is padded to power-of-two buckets so XLA compiles
+        at most log2(S) batch shapes instead of one per distinct count.
+        """
         p = self.sims[0].param
-        # batched ideal dynamics: ONE device call samples every
-        # scenario's trajectories (the per-sim do_step costs a device
-        # round-trip each over the TPU tunnel — S of them serialized)
+        active = [sim for sim in self.sims if not sim.is_finished()]
+        if not active:
+            return
+        # batched ideal dynamics, host-side float64 over all scenarios at
+        # once — same Bernstein evaluation as the single-sim do_step, so
+        # a replica run is bit-identical to a standalone run, with no
+        # device round-trip
         if iteration > 0:
-            ctrl = np.stack([sim.desired_ctrl for sim in self.sims])
-            pos, vel, acc = (np.asarray(v) for v in
-                             self._vdostep(jnp.asarray(ctrl, jnp.float32)))
-            for s, sim in enumerate(self.sims):
-                if sim.is_finished():
-                    continue
+            from lsc_dr_planner_tpu.sim.simulator import _state_at_np
+
+            ctrl = np.stack([sim.desired_ctrl for sim in active])
+            pos, vel, acc = _state_at_np(ctrl, p.multisim_time_step, p.dt)
+            for s, sim in enumerate(active):
                 sim.pos = pos[s].astype(np.float64)
                 sim.vel = vel[s].astype(np.float64)
                 sim.acc = acc[s].astype(np.float64)
@@ -103,7 +108,16 @@ class MonteCarloSimulator:
             sim.decentralized_mapp()
             return sim._build_step_inputs()
 
-        inputs = list(self._pool.map(host_phase, self.sims))
+        inputs = list(self._pool.map(host_phase, active))
+
+        # pad the batch to a power-of-two bucket (≤ S) with repeats of
+        # the last active input; padded lanes' outputs are discarded
+        n_act = len(inputs)
+        B = 1
+        while B < n_act:
+            B *= 2
+        B = min(B, self.S)
+        inputs = inputs + [inputs[-1]] * (B - n_act)
 
         # stack numpy leaves once → one device transfer
         stacked = jax.tree_util.tree_map(
@@ -126,12 +140,12 @@ class MonteCarloSimulator:
         # ~94 MB/step through the device tunnel if pulled)
         keep = ("desired_ctrl", "current_goal", "sfc_lo", "sfc_hi",
                 "sfc_initialized", "qp_converged", "qp_residual",
-                "qp_iterations")
+                "qp_iterations", "qp_y")
         outs_np = outs._replace(**{
             f: (np.asarray(getattr(outs, f)) if f in keep else None)
             for f in outs._fields
         })
-        for s, sim in enumerate(self.sims):
+        for s, sim in enumerate(active):
             out_s = jax.tree_util.tree_map(
                 lambda x: x[s] if x is not None else None, outs_np
             )

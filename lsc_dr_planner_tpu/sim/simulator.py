@@ -98,7 +98,17 @@ class MultiSyncSimulator:
             base = share_static_from
             self.world = base.world
             self.local_maps = base.local_maps
-            self.map_manager = base.map_manager
+            # the map manager is MUTABLE in local-sensing mode (sense()
+            # writes discovered occupancy every step) — each replica gets
+            # its own copy so noise-perturbed scenarios can't
+            # cross-contaminate each other's discovered maps; with the
+            # global map it is read-only and safely shared
+            if base.local_maps:
+                import copy as _copy
+
+                self.map_manager = _copy.deepcopy(base.map_manager)
+            else:
+                self.map_manager = base.map_manager
             self._coarse_version = base._coarse_version
             self.coarse = base.coarse
             self.coarse_nomargin = base.coarse_nomargin
@@ -232,6 +242,13 @@ class MultiSyncSimulator:
         self.sfc_lo = np.zeros((self.A, p.M, 3), np.int32)
         self.sfc_hi = np.zeros((self.A, p.M, 3), np.int32)
         self.sfc_initialized = np.zeros(self.A, bool)
+        # ADMM dual warm start (zeros = cold; always a real array so the
+        # jitted step keeps ONE signature across the whole mission)
+        from lsc_dr_planner_tpu.ops import qp as qpmod
+
+        self.qp_y = np.zeros(
+            (self.A, qpmod.n_rows(self.planner.qp_cfg)), np.float32
+        )
         self.planner_seq = 0
         self._group_plans = {}
         # margined-grid viability cache: after repeated MAPF failures on
@@ -298,7 +315,11 @@ class MultiSyncSimulator:
             if not ok:
                 self.qp_failed = True
                 break
-            self.save_simulation_result()
+            # LAND runs the planner but stops recording/auditing —
+            # landing agents intentionally descend through each other's
+            # altitude band (reference: multi_sync_simulator.cpp:365-371)
+            if self.planner_state != PlannerState.LAND:
+                self.save_simulation_result()
             if verbose and it % 10 == 0:
                 d = np.linalg.norm(self.pos - self.desired_goal, axis=-1)
                 print(
@@ -322,6 +343,25 @@ class MultiSyncSimulator:
         load_checkpoint(self, path)
 
     # ==================================================================
+    # Planner-state service surface (reference ROS services
+    # /start_planning, /stop_planning [land], /patrol, /stop_patrol —
+    # multi_sync_simulator.cpp:733-755).
+    def start_planning(self) -> None:
+        self.planner_state = PlannerState.GOTO
+
+    def land(self) -> None:
+        """Stop the mission: keep planning (collision avoidance stays
+        live) but stop recording/auditing; in 3-D the goals drop to
+        ground level under each agent."""
+        self.planner_state = PlannerState.LAND
+
+    def patrol(self) -> None:
+        self.planner_state = PlannerState.PATROL
+
+    def stop_patrol(self) -> None:
+        self.planner_state = PlannerState.GOBACK
+
+    # ==================================================================
     def is_finished(self) -> bool:
         if self.planner_state in (PlannerState.PATROL, PlannerState.LAND):
             return False
@@ -341,10 +381,16 @@ class MultiSyncSimulator:
         """Ideal dynamics: sample own planned trajectory at +Δt.
 
         Reference: AgentManager::doStep, src/agent_manager.cpp:29-50.
+        Sampled HOST-SIDE in float64 (same Bernstein evaluation as the
+        safety audit): it is exact, backend-independent (CPU and TPU
+        runs integrate identical dynamics from identical control
+        points), and saves a device round-trip per step — significant
+        over the TPU tunnel (~60-150 ms per dispatch).
         """
         p = self.param
-        ctrl = jnp.asarray(self.desired_ctrl)
-        pos, vel, acc = trajectory.state_at(ctrl, p.multisim_time_step, p.dt)
+        pos, vel, acc = _state_at_np(
+            self.desired_ctrl, p.multisim_time_step, p.dt
+        )
         self.pos = np.asarray(pos, np.float64)
         self.vel = np.asarray(vel, np.float64)
         self.acc = np.asarray(acc, np.float64)
@@ -473,10 +519,11 @@ class MultiSyncSimulator:
         pinned_mask = self._pin_steps >= RETREAT_K
         pinned = np.nonzero(pinned_mask)[0]
         if len(pinned):
-            wp_cells = {
-                tuple(self.coarse.point_to_node(self.next_waypoint[j])[:2]): j
-                for j in range(self.A)
-            }
+            # cell -> set of waypoint holders: planar cells CAN be shared
+            # (merged comm groups, 3-D agents at different altitudes), so
+            # a plain cell->agent dict would collapse duplicates and
+            # corrupt/KeyError on the second retreat from a shared cell
+            wp_cells = self._waypoint_cell_holders()
             for i in pinned:
                 cell = self.coarse.point_to_node(self.pos[i])
                 cell[2] = 0
@@ -486,15 +533,14 @@ class MultiSyncSimulator:
                 )
                 if key == mine:
                     continue  # synced cells: escape 1 (gate relax) applies
-                holder = wp_cells.get(key)
-                if holder is not None and holder != i:
+                if wp_cells.get(key, set()) - {i}:
                     continue  # another agent's waypoint holds our cell
                 wpp = self.coarse.node_to_point(cell)
                 wpp[2] = (
                     self.pos[i][2] if p.world_dimension == 3 else p.world_z_2d
                 )
-                del wp_cells[mine]
-                wp_cells[key] = i
+                wp_cells.get(mine, set()).discard(i)
+                wp_cells.setdefault(key, set()).add(i)
                 self.next_waypoint[i] = wpp
                 self._pin_steps[i] = 0
                 self._log("retreat", (int(i), key))
@@ -549,10 +595,7 @@ class MultiSyncSimulator:
                 # waypoints ahead of contact-wedged bodies, and a
                 # committed plan solved from that fictional config
                 # inherits the wedge instead of resolving it
-                wp_cells = {
-                    tuple(self.coarse.point_to_node(self.next_waypoint[j])[:2]): j
-                    for j in range(self.A)
-                }
+                wp_cells = self._waypoint_cell_holders()
                 n_retreat = 0
                 for i in group:
                     cell = self.coarse.point_to_node(self.pos[i])
@@ -563,16 +606,15 @@ class MultiSyncSimulator:
                     )
                     if key == mine:
                         continue
-                    holder = wp_cells.get(key)
-                    if holder is not None and holder != i:
+                    if wp_cells.get(key, set()) - {i}:
                         continue
                     wpp = self.coarse.node_to_point(cell)
                     wpp[2] = (
                         self.pos[i][2] if p.world_dimension == 3
                         else p.world_z_2d
                     )
-                    del wp_cells[mine]
-                    wp_cells[key] = i
+                    wp_cells.get(mine, set()).discard(i)
+                    wp_cells.setdefault(key, set()).add(i)
                     self.next_waypoint[i] = wpp
                     n_retreat += 1
                 if n_retreat:
@@ -788,6 +830,16 @@ class MultiSyncSimulator:
         self._group_plans = {
             s: pl for s, pl in self._group_plans.items() if s in seen_sigs
         }
+
+    # ==================================================================
+    def _waypoint_cell_holders(self) -> dict:
+        """Planar waypoint cell -> set of agents whose next_waypoint sits
+        in it (duplicates are real: merged groups / 3-D altitudes)."""
+        holders: dict = {}
+        cells = self.coarse.point_to_node(self.next_waypoint)[:, :2]
+        for j in range(self.A):
+            holders.setdefault(tuple(cells[j]), set()).add(j)
+        return holders
 
     # ==================================================================
     def _resolve_layer(self) -> str:
@@ -1202,6 +1254,17 @@ class MultiSyncSimulator:
                 )
         elif self.planner_state == PlannerState.GOBACK:
             self.desired_goal = self.start_point.copy()
+        elif self.planner_state == PlannerState.LAND:
+            # reference parity: LAND keeps the previous desired goal
+            # (agent_manager.cpp:225-240 has no LAND branch) — the
+            # descent itself happens off-planner on the vehicle. In 3-D
+            # simulation we additionally bring the goal to ground level
+            # under each agent so the state is observable in the sim.
+            if p.world_dimension == 3:
+                self.desired_goal = self.pos.copy()
+                self.desired_goal[:, 2] = (
+                    float(self.mission.world_min[2]) + self.s["radius"]
+                )
 
         # dynamic obstacle states at current sim time
         OD = self.mission.on
@@ -1288,6 +1351,7 @@ class MultiSyncSimulator:
                 np.asarray(self.map_manager.known)
                 if self.local_maps else None
             ),
+            qp_y0=self.qp_y,
         )
         return inp
 
@@ -1301,6 +1365,8 @@ class MultiSyncSimulator:
         self.sfc_initialized = np.asarray(out.sfc_initialized)
         self.has_prev[:] = True
         self.qp_converged = np.asarray(out.qp_converged)
+        if out.qp_y is not None:
+            self.qp_y = np.asarray(out.qp_y, np.float32)
 
     # ==================================================================
     def save_simulation_result(self):
@@ -1475,6 +1541,8 @@ class MultiSyncSimulator:
             "acc_excess_ratio": float(np.linalg.norm(self.acc_excess_ratio)),
             "planning_time_avg_ms": pt.total_planning_time.average * 1e3,
             "planning_time_max_ms": pt.total_planning_time.max * 1e3,
+            "planning_time_p50_ms": pt.total_planning_time.percentile(50) * 1e3,
+            "planning_time_p99_ms": pt.total_planning_time.percentile(99) * 1e3,
             "mapf_time_avg_ms": pt.mapf_time.average * 1e3,
             "is_collided": self.is_collided,
             "qp_failed": self.qp_failed,

@@ -19,6 +19,11 @@ class PlanningTime:
     max: float = 0.0
     average: float = 0.0
     N: int = 0
+    # raw per-step samples (bounded) so mission rows can report tail
+    # latency (p50/p99) against the 0.2 s replanning budget, not just
+    # the running min/max the reference keeps (sp_const.hpp:87-106)
+    samples: list = field(default_factory=list)
+    _MAX_SAMPLES = 20000
 
     def update(self, value: float) -> None:
         self.current = value
@@ -26,6 +31,15 @@ class PlanningTime:
         self.max = max(self.max, value)
         self.N += 1
         self.average += (value - self.average) / self.N
+        if len(self.samples) < self._MAX_SAMPLES:
+            self.samples.append(value)
+
+    def percentile(self, q: float) -> float:
+        if not self.samples:
+            return 0.0
+        s = sorted(self.samples)
+        idx = min(len(s) - 1, int(q / 100.0 * len(s)))
+        return s[idx]
 
 
 @dataclass

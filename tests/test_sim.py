@@ -118,6 +118,36 @@ def test_3d_vertical_crossing_with_downwash(tmp_path):
     assert np.isfinite(res["total_flight_time"])
 
 
+def test_land_service(tmp_path):
+    """LAND (reference /stop_planning service): planning continues,
+    is_finished stays False, the audit/recording stops, and in 3-D the
+    agents descend toward ground level.
+    Reference: multi_sync_simulator.cpp:365-371, 739-743."""
+    m = generate_random_mission(3, [-3, -3, 0], [3, 3, 3.0], seed=7,
+                                min_separation=1.5, z=1.5)
+    p = _param(world_dimension=3, multisim_max_planner_iteration=80)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    # fly a few normal steps first
+    for it in range(6):
+        if sim.planner_seq > 0:
+            sim.do_step()
+        sim.decentralized_mapp()
+        assert sim.plan()
+        sim.save_simulation_result()
+    z_before = sim.pos[:, 2].copy()
+    audit_rows = len(sim.traj_history)
+    sim.land()
+    for it in range(30):
+        assert not sim.is_finished()  # LAND never finishes
+        sim.do_step()
+        sim.decentralized_mapp()
+        assert sim.plan()
+        # reference: no saveSimulationResult in LAND
+    assert len(sim.traj_history) == audit_rows  # audit stopped
+    assert np.all(sim.pos[:, 2] < z_before)  # descending
+    assert np.all(sim.pos[:, 2] >= 0.0)
+
+
 def test_dlsc_substep_replanning(tmp_path):
     """DLSC with multisim_time_step < dt (sub-step replanning via the
     subsegment re-parameterization). The reference's CONTINUITY-slack
