@@ -1199,8 +1199,7 @@ class MultiSyncSimulator:
             self.map_manager.merge(self.pos, self.param.communication_range)
         inp = self._build_step_inputs()
         out = self.planner.step(self.fleet, inp)
-        out.desired_ctrl.block_until_ready()
-        self._apply_step_outputs(out)
+        self._apply_step_outputs(out)  # blocks on the batched fetch
         elapsed = timer.stop()
         if self.planner_seq == 1:
             # the first call pays the one-off XLA compile; re-run the
@@ -1210,7 +1209,7 @@ class MultiSyncSimulator:
             # multi_sync_simulator.cpp:579-583)
             t2 = Timer()
             out2 = self.planner.step(self.fleet, inp)
-            out2.desired_ctrl.block_until_ready()
+            self._apply_step_outputs(out2)  # idempotent (same inputs)
             elapsed = t2.stop()
         # per-agent statistics parity: the batched solve serves all agents
         # at once; record the whole-step wall time as the per-step planning
@@ -1357,16 +1356,26 @@ class MultiSyncSimulator:
 
     # ==================================================================
     def _apply_step_outputs(self, out) -> None:
-        self.desired_ctrl = np.asarray(out.desired_ctrl, np.float64)
+        # ONE batched device→host transfer for every leaf the host
+        # consumes (per-leaf np.asarray costs a full tunnel round trip
+        # EACH on the remote TPU — ~8 RTTs/step ≈ tens of ms of pure
+        # latency; device_get overlaps the fetches)
+        import jax as _jax
+
+        desired, goal, lo, hi, init, conv, y = _jax.device_get(
+            (out.desired_ctrl, out.current_goal, out.sfc_lo, out.sfc_hi,
+             out.sfc_initialized, out.qp_converged, out.qp_y)
+        )
+        self.desired_ctrl = np.asarray(desired, np.float64)
         self.prev_ctrl = self.desired_ctrl.copy()
-        self.current_goal = np.asarray(out.current_goal, np.float64)
-        self.sfc_lo = np.asarray(out.sfc_lo)
-        self.sfc_hi = np.asarray(out.sfc_hi)
-        self.sfc_initialized = np.asarray(out.sfc_initialized)
+        self.current_goal = np.asarray(goal, np.float64)
+        self.sfc_lo = np.asarray(lo)
+        self.sfc_hi = np.asarray(hi)
+        self.sfc_initialized = np.asarray(init)
         self.has_prev[:] = True
-        self.qp_converged = np.asarray(out.qp_converged)
-        if out.qp_y is not None:
-            self.qp_y = np.asarray(out.qp_y, np.float32)
+        self.qp_converged = np.asarray(conv)
+        if y is not None:
+            self.qp_y = np.asarray(y, np.float32)
 
     # ==================================================================
     def save_simulation_result(self):

@@ -25,13 +25,19 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-os.environ["JAX_PLATFORMS"] = "cpu"
+# --platform must take effect before jax backend init: pre-scan argv
+_PLATFORM = "cpu"
+if "--platform" in sys.argv:
+    _PLATFORM = sys.argv[sys.argv.index("--platform") + 1]
+if _PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 except Exception:
@@ -63,6 +69,10 @@ def main():
                     help="stop starting new missions after this many seconds")
     ap.add_argument("--log-dir", default="log/benchmark")
     ap.add_argument("--max-iter", type=int, default=600)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "axon"],
+                    help="cpu (local) or axon (the real TPU chip via the "
+                         "tunnel — run from /root/repo cwd with default "
+                         "PYTHONPATH)")
     args = ap.parse_args()
 
     from lsc_dr_planner_tpu.config import Param
