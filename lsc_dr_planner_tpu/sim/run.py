@@ -41,7 +41,8 @@ def build_param(args) -> Param:
 
 
 def run_one(mission_file, world_file, param, log_dir, seed, verbose,
-            checkpoint=None, checkpoint_every=0, resume=None):
+            checkpoint=None, checkpoint_every=0, resume=None,
+            frame_every=0, frame_dir=None):
     mission = Mission.load(
         mission_file,
         world_file=world_file if param.world_use_octomap else None,
@@ -54,7 +55,8 @@ def run_one(mission_file, world_file, param, log_dir, seed, verbose,
     if resume:
         sim.load_checkpoint(resume)
     result = sim.run(verbose=verbose, checkpoint_path=checkpoint,
-                     checkpoint_every=checkpoint_every)
+                     checkpoint_every=checkpoint_every,
+                     frame_every=frame_every, frame_dir=frame_dir)
     result["mission"] = os.path.basename(mission_file)
     return result
 
@@ -86,6 +88,13 @@ def main(argv=None):
                     help="save the checkpoint every N planning steps")
     ap.add_argument("--resume", help="checkpoint .npz to restore before "
                                      "running (single-mission mode)")
+    ap.add_argument("--debug-frames", type=int, default=0,
+                    help="render an internal-artifact debug frame (SFC "
+                         "boxes, LSC half-planes, waypoints/grid paths, "
+                         "comm groups) every N planning steps")
+    ap.add_argument("--frames-dir", default=None,
+                    help="directory for --debug-frames output "
+                         "(default: log dir)")
     ap.add_argument("--comm-range", type=float, default=3.0)
     ap.add_argument("--max-iter", type=int, default=600)
     ap.add_argument("--M", type=int, default=10)
@@ -122,7 +131,8 @@ def main(argv=None):
         r = run_one(args.mission, args.world, param, args.log_dir, args.seed,
                     args.verbose, checkpoint=args.checkpoint,
                     checkpoint_every=args.checkpoint_every,
-                    resume=args.resume)
+                    resume=args.resume, frame_every=args.debug_frames,
+                    frame_dir=args.frames_dir)
         print(json.dumps(r))
         results.append(r)
     return results

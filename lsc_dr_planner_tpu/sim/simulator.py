@@ -299,7 +299,8 @@ class MultiSyncSimulator:
 
     # ==================================================================
     def run(self, max_iterations: Optional[int] = None, verbose: bool = False,
-            checkpoint_path: Optional[str] = None, checkpoint_every: int = 0):
+            checkpoint_path: Optional[str] = None, checkpoint_every: int = 0,
+            frame_every: int = 0, frame_dir: Optional[str] = None):
         p = self.param
         max_iter = max_iterations or p.multisim_max_planner_iteration
         for it in range(max_iter):
@@ -315,6 +316,15 @@ class MultiSyncSimulator:
             if not ok:
                 self.qp_failed = True
                 break
+            if frame_every and self.planner_seq % frame_every == 0:
+                # internal-artifact debug frame (SFC/LSC/waypoints/groups)
+                from lsc_dr_planner_tpu.sim.replay import render_debug_frame
+
+                fd = frame_dir or self.log_dir
+                os.makedirs(fd, exist_ok=True)
+                render_debug_frame(self, os.path.join(
+                    fd, f"frame_{self.planner_seq:04d}.png"
+                ))
             # LAND runs the planner but stops recording/auditing —
             # landing agents intentionally descend through each other's
             # altitude band (reference: multi_sync_simulator.cpp:365-371)

@@ -170,3 +170,33 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
     b = MultiSyncSimulator(p, m3, log_dir=str(tmp_path))
     with pytest.raises(ValueError):
         b.load_checkpoint(ck)
+
+
+def test_debug_frame_render(tmp_path):
+    """render_debug_frame draws the four internal artifact classes (SFC
+    boxes, LSC half-planes, waypoints/grid paths, comm groups) from a
+    live simulator without disturbing its state."""
+    import numpy as np
+
+    from lsc_dr_planner_tpu.config import Param
+    from lsc_dr_planner_tpu.mission import generate_random_mission
+    from lsc_dr_planner_tpu.sim.replay import render_debug_frame
+    from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
+
+    m = generate_random_mission(4, [-3, -3, 0], [3, 3, 2.5], seed=3,
+                                min_separation=1.2)
+    p = Param(world_use_octomap=False, multisim_max_planner_iteration=50,
+              qp_max_iter=60)
+    sim = MultiSyncSimulator(p, m, log_dir=str(tmp_path))
+    for it in range(3):
+        if sim.planner_seq > 0:
+            sim.do_step()
+        sim.decentralized_mapp()
+        assert sim.plan()
+    state_before = (sim.planner_seq, sim.desired_goal.copy(),
+                    sim.current_goal.copy())
+    out = render_debug_frame(sim, str(tmp_path / "dbg.png"))
+    assert (tmp_path / "dbg.png").stat().st_size > 10000
+    assert sim.planner_seq == state_before[0]
+    np.testing.assert_array_equal(sim.desired_goal, state_before[1])
+    np.testing.assert_array_equal(sim.current_goal, state_before[2])
