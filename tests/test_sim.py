@@ -282,3 +282,23 @@ def test_auto_layer_selection_on_reference_worlds():
                          world_z_2d=p.world_z_2d)
         sim = MultiSyncSimulator(p, m, log_dir="/tmp/test_auto_layer")
         assert sim._layer == want, (mf, sim._layer)
+
+
+@pytest.mark.slow
+def test_fuzz_subset_deadlock_free():
+    """Seeded subset of the OOD deadlock fuzz (tools/fuzz_missions.py):
+    random worlds + fleets the waypoint-layer constants were NOT tuned
+    on must finish collision-free with finite flight time in both
+    forced layer modes."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.fuzz_missions import run_case
+
+    cases = [(2001, "hybrid"), (2002, "mcp"), (2003, "auto")]
+    for seed, layer in cases:
+        r = run_case(seed, layer, A=8)
+        assert "skip" not in r or r.get("clean") is not None, r
+        if "skip" in r:
+            continue
+        assert r["clean"], (seed, layer, r)

@@ -1,0 +1,240 @@
+"""Out-of-distribution deadlock fuzzing (VERDICT r3 item 6).
+
+The waypoint-layer escalation constants (retreat / no-progress / MCP
+fallback windows, sim/simulator.py) were tuned on the 90-mission
+acceptance suite; this harness guards their generalization: random
+worlds (forest-like scatter and maze-like wall fields), random fleets
+(8-64 agents), both waypoint layer modes forced, asserting every run
+finishes collision-free with zero dynamic-limit excess, no QP failure,
+and finite flight time (= no deadlock).
+
+Start/goal placement is rejection-sampled away from obstacles and
+checked for grid connectivity (a disconnected goal would read as a
+deadlock and is a mission-generation artifact, not a planner failure).
+
+Usage:
+    PYTHONPATH= python tools/fuzz_missions.py --n 200 --out log/fuzz
+    PYTHONPATH= python tools/fuzz_missions.py --n 5 --smoke
+
+Idempotent per seed: completed seeds in the output JSONL are skipped.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from collections import deque
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def random_world(rng, kind, half):
+    """Random obstacle boxes [N, 6] (cx, cy, cz, sx, sy, sz)."""
+    boxes = []
+    if kind == "forest":
+        n = int(rng.integers(10, 40))
+        for _ in range(n):
+            s = rng.uniform(0.3, 0.9)
+            cx, cy = rng.uniform(-half + 1, half - 1, 2)
+            boxes.append([cx, cy, 1.0, s, s, 2.0])
+    else:  # maze-like wall field
+        n = int(rng.integers(6, 16))
+        for _ in range(n):
+            L = rng.uniform(1.0, 2.0 * half - 2.0)
+            cx, cy = rng.uniform(-half + 1, half - 1, 2)
+            if rng.random() < 0.5:
+                boxes.append([cx, cy, 1.0, L, 0.1, 2.0])
+            else:
+                boxes.append([cx, cy, 1.0, 0.1, L, 2.0])
+    return np.asarray(boxes).reshape(-1, 6)
+
+
+def _occ_grid(boxes, half, res, clearance):
+    n = int(np.ceil(2 * half / res))
+    occ = np.zeros((n, n), bool)
+    xs = -half + (np.arange(n) + 0.5) * res
+    for cx, cy, _, sx, sy, _ in boxes:
+        x0 = cx - sx / 2 - clearance
+        x1 = cx + sx / 2 + clearance
+        y0 = cy - sy / 2 - clearance
+        y1 = cy + sy / 2 + clearance
+        ix = np.nonzero((xs > x0) & (xs < x1))[0]
+        iy = np.nonzero((xs > y0) & (xs < y1))[0]
+        if len(ix) and len(iy):
+            occ[ix[0]:ix[-1] + 1, iy[0]:iy[-1] + 1] = True
+    return occ, xs
+
+
+def _connected(occ, a, b):
+    if occ[a] or occ[b]:
+        return False
+    seen = {a}
+    q = deque([a])
+    X, Y = occ.shape
+    while q:
+        x, y = q.popleft()
+        if (x, y) == b:
+            return True
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = x + dx, y + dy
+            if 0 <= nx < X and 0 <= ny < Y and not occ[nx, ny] \
+                    and (nx, ny) not in seen:
+                seen.add((nx, ny))
+                q.append((nx, ny))
+    return False
+
+
+def make_mission(rng, A, boxes, half, radius=0.15):
+    """Random mission with obstacle-clear, pairwise-separated,
+    connectivity-checked starts/goals on the 0.5 m grid."""
+    from lsc_dr_planner_tpu.mission import generate_random_mission
+
+    res = 0.5
+    occ, xs = _occ_grid(boxes, half, res, clearance=radius + 0.2)
+
+    def cell_of(p):
+        return (int(np.clip((p[0] + half) / res, 0, len(xs) - 1)),
+                int(np.clip((p[1] + half) / res, 0, len(xs) - 1)))
+
+    free_cells = np.argwhere(~occ)
+    if len(free_cells) < 4 * A:
+        return None
+
+    def sample_set(exclude):
+        pts = []
+        for _ in range(A):
+            for _a in range(3000):
+                c = free_cells[rng.integers(len(free_cells))]
+                p = np.array([-half + (c[0] + 0.5) * res,
+                              -half + (c[1] + 0.5) * res])
+                p = np.round(p / res) * res
+                if occ[cell_of(p)]:
+                    continue
+                if all(np.linalg.norm(p - q) >= 0.7 for q in pts + exclude):
+                    pts.append(p)
+                    break
+            else:
+                return None
+        return pts
+
+    starts = sample_set([])
+    if starts is None:
+        return None
+    goals = sample_set([])
+    if goals is None:
+        return None
+    for s, g in zip(starts, goals):
+        if not _connected(occ, cell_of(s), cell_of(g)):
+            return None
+
+    m = generate_random_mission(
+        A, [-half, -half, 0.0], [half, half, 2.5], radius=radius, seed=0,
+        min_separation=0.0,
+    )
+    m.world_boxes = boxes
+    for i, a in enumerate(m.agents):
+        a.start = np.array([starts[i][0], starts[i][1], 0.6])
+        a.goal = np.array([goals[i][0], goals[i][1], 0.6])
+    return m
+
+
+def run_case(seed, layer, A=None):
+    from lsc_dr_planner_tpu.config import Param
+    from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
+
+    rng = np.random.default_rng(seed)
+    A = A if A is not None else int(rng.integers(8, 65))
+    kind = "forest" if rng.random() < 0.5 else "maze"
+    half = max(4.0, 0.85 * np.sqrt(A) + (2.0 if kind == "maze" else 0.0))
+
+    mission = None
+    for _try in range(20):
+        boxes = random_world(rng, kind, half)
+        mission = make_mission(rng, A, boxes, half)
+        if mission is not None:
+            break
+    if mission is None:
+        return {"seed": seed, "skip": "generation failed"}
+
+    # generous upper bound on a deadlock-free mission's duration
+    max_iter = 250 + 12 * A
+    param = Param(
+        world_dimension=2, world_use_octomap=True, communication_range=3.0,
+        multisim_max_planner_iteration=max_iter, profile_stages=False,
+        mapf_layer=layer,
+    )
+    sim = MultiSyncSimulator(param, mission, log_dir="/tmp/fuzz_log")
+    t0 = time.time()
+    r = sim.run()
+    r.update(seed=seed, layer=layer, A=A, kind=kind,
+             wall_s=round(time.time() - t0, 1),
+             n_boxes=int(len(mission.world_boxes)))
+    r["clean"] = bool(
+        not r["is_collided"] and not r["qp_failed"]
+        and np.isfinite(r["total_flight_time"])
+        and r["vel_excess_ratio"] == 0.0 and r["acc_excess_ratio"] == 0.0
+    )
+    return r
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--seed0", type=int, default=1000)
+    ap.add_argument("--out", default="log/fuzz")
+    ap.add_argument("--budget", type=float, default=1e9)
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "fuzz.jsonl")
+    done = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                    done.add((row["seed"], row.get("layer")))
+                except Exception:
+                    pass
+
+    t0 = time.time()
+    n_run = n_clean = 0
+    for i in range(args.n):
+        seed = args.seed0 + i
+        # alternate forced layer modes (both must be deadlock-free)
+        for layer in (("hybrid", "mcp") if not args.smoke else ("auto",)):
+            if (seed, layer) in done:
+                continue
+            if time.time() - t0 > args.budget:
+                print(f"# budget reached ({n_run} run)", flush=True)
+                return
+            r = run_case(seed, layer)
+            with open(path, "a") as f:
+                f.write(json.dumps(r) + "\n")
+            if "skip" in r:
+                print(f"seed {seed}: SKIP ({r['skip']})", flush=True)
+                continue
+            n_run += 1
+            n_clean += int(r["clean"])
+            print(
+                f"seed {seed} {layer}: A={r['A']} {r['kind']} "
+                f"flight={r['total_flight_time']:.1f}s "
+                f"{'CLEAN' if r['clean'] else 'DIRTY'}",
+                flush=True,
+            )
+    print(f"# fuzz done: {n_clean}/{n_run} clean", flush=True)
+
+
+if __name__ == "__main__":
+    main()

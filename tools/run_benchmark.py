@@ -73,14 +73,22 @@ def main():
                     help="cpu (local) or axon (the real TPU chip via the "
                          "tunnel — run from /root/repo cwd with default "
                          "PYTHONPATH)")
+    ap.add_argument("--planner", default="lsc", choices=["lsc", "dlsc"])
+    ap.add_argument("--timestep", type=float, default=None,
+                    help="multisim_time_step (DLSC sub-step replanning "
+                         "when < dt; default = dt)")
     args = ap.parse_args()
 
     from lsc_dr_planner_tpu.config import Param
     from lsc_dr_planner_tpu.mission import Mission, enumerate_mission_set_natural
     from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
 
+    from lsc_dr_planner_tpu.config import PlannerMode
+
+    planner_mode = PlannerMode[args.planner.upper()]
+    suffix = "" if planner_mode == PlannerMode.LSC else f"_{args.planner}"
     os.makedirs(args.log_dir, exist_ok=True)
-    done_path = os.path.join(args.log_dir, f"{args.set}.jsonl")
+    done_path = os.path.join(args.log_dir, f"{args.set}{suffix}.jsonl")
     done = set()
     if os.path.exists(done_path):
         with open(done_path) as f:
@@ -101,11 +109,14 @@ def main():
         if time.time() - t0 > args.budget:
             print(f"# budget reached after {ran} missions", flush=True)
             return 0
+        ts = args.timestep
         param = Param(
             world_dimension=2, world_use_octomap=True,
             communication_range=3.0, multisim_save_result=False,
             multisim_max_planner_iteration=args.max_iter,
             profile_stages=False,  # avoid 6 prefix compiles per world
+            planner_mode=planner_mode,
+            multisim_time_step=(ts if ts is not None else 0.2),
         )
         mission = Mission.load(mf, world_file=wf, world_dimension=2,
                                world_z_2d=param.world_z_2d)
@@ -117,7 +128,9 @@ def main():
         r["set"] = args.set
         # reference-schema summary row (one per mission)
         sim.save_result = True
-        sim.file_name_param = f"{args.set}_LSC_{sim.A}agents"
+        sim.file_name_param = (
+            f"{args.set}_{param.planner_mode_str()}_{sim.A}agents"
+        )
         sim._write_summary_csv()
         with open(done_path, "a") as f:
             f.write(json.dumps(r) + "\n")
