@@ -68,6 +68,9 @@ class MonteCarloSimulator:
             max_workers=host_workers or min(n_scenarios,
                                             (os.cpu_count() or 2) * 2)
         )
+        # last-step phase wall times (host MAPF / stack+transfer /
+        # device / apply) — the pod-scale planning surface
+        self.phase_times = {}
 
     # ------------------------------------------------------------------
     def step(self, iteration: int) -> None:
@@ -79,10 +82,13 @@ class MonteCarloSimulator:
         device batch is padded to power-of-two buckets so XLA compiles
         at most log2(S) batch shapes instead of one per distinct count.
         """
+        import time as _time
+
         p = self.sims[0].param
         active = [sim for sim in self.sims if not sim.is_finished()]
         if not active:
             return
+        t0 = _time.perf_counter()
         # batched ideal dynamics, host-side float64 over all scenarios at
         # once — same Bernstein evaluation as the single-sim do_step, so
         # a replica run is bit-identical to a standalone run, with no
@@ -109,6 +115,7 @@ class MonteCarloSimulator:
             return sim._build_step_inputs()
 
         inputs = list(self._pool.map(host_phase, active))
+        t1 = _time.perf_counter()
 
         # pad the batch to a power-of-two bucket (≤ S) with repeats of
         # the last active input; padded lanes' outputs are discarded
@@ -134,6 +141,7 @@ class MonteCarloSimulator:
                 return jax.device_put(x, shard)
 
             stacked = jax.tree_util.tree_map(place, stacked)
+        t2 = _time.perf_counter()
         outs = self._vstep(self.fleet, stacked)
         # one device→host transfer of only the leaves the host applies
         # (obs_pred_ctrl alone is ~12 KB/agent — at 1024×8 that is
@@ -145,12 +153,18 @@ class MonteCarloSimulator:
             f: (np.asarray(getattr(outs, f)) if f in keep else None)
             for f in outs._fields
         })
+        t3 = _time.perf_counter()
         for s, sim in enumerate(active):
             out_s = jax.tree_util.tree_map(
                 lambda x: x[s] if x is not None else None, outs_np
             )
             sim._apply_step_outputs(out_s)
             sim.save_simulation_result()
+        t4 = _time.perf_counter()
+        self.phase_times = {
+            "n_active": len(active), "host": t1 - t0, "stack": t2 - t1,
+            "device": t3 - t2, "apply": t4 - t3,
+        }
 
     # ------------------------------------------------------------------
     def run(self, max_iterations: Optional[int] = None) -> List[dict]:
