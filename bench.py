@@ -34,7 +34,7 @@ def build_fleet(A: int, seed: int = 0):
     import jax.numpy as jnp
 
     from lsc_dr_planner_tpu.config import GoalMode, Param
-    from lsc_dr_planner_tpu.ops import trajectory
+    from lsc_dr_planner_tpu.ops import qp, trajectory
     from lsc_dr_planner_tpu.planner.pipeline import (
         FleetArrays, FleetPlanner, StepInputs,
     )
@@ -110,6 +110,7 @@ def build_fleet(A: int, seed: int = 0):
         dynobs_downwash=jnp.zeros((0,), f32),
         dynobs_max_acc=jnp.zeros((0,), f32),
         dynobs_valid=jnp.zeros((0,), bool),
+        qp_y0=jnp.zeros((A, qp.n_rows(planner.qp_cfg)), f32),
     )
     return p, planner, fleet, inp
 
@@ -158,6 +159,7 @@ def make_evolve_step(p, planner, fleet):
             sfc_lo=out.sfc_lo, sfc_hi=out.sfc_hi,
             sfc_initialized=out.sfc_initialized,
             planner_seq=inp.planner_seq + 1,
+            qp_y0=out.qp_y,  # dual warm start across steps
         )
         return new_inp, out.qp_converged
 
