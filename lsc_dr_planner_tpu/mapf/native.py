@@ -172,14 +172,24 @@ def solve_pibt(
     seed: int = 0,
     max_timestep: int = pypibt.MAX_TIMESTEP,
     init_elapsed: Optional[Sequence[int]] = None,
+    max_rows: Optional[int] = None,
 ) -> Optional[List[List[Tuple[int, int]]]]:
-    """Native PIBT; falls back to the Python implementation."""
+    """Native PIBT; falls back to the Python implementation.
+
+    `max_rows`: truncate the RETURNED paths to the first N rows (the
+    per-step waypoint layer consumes only row 1; converting 1024
+    full-horizon paths to Python tuples dominated the host phase at
+    fleet scale). The solve itself always runs to completion, so
+    None-vs-paths (solvability) is unaffected."""
     lib = _load()
     if lib is None:
-        return pypibt.solve_pibt(
+        paths = pypibt.solve_pibt(
             occ2d, starts, currents, goals, seed=seed,
             max_timestep=max_timestep, init_elapsed=init_elapsed,
         )
+        if paths is not None and max_rows is not None:
+            paths = [row[:max_rows] for row in paths]
+        return paths
     occ = np.ascontiguousarray(np.asarray(occ2d, dtype=np.uint8))
     X, Y = occ.shape
     n = len(currents)
@@ -207,7 +217,8 @@ def solve_pibt(
         return None
     # bulk tolist() + tuple(): ~10× faster than per-element int() at
     # 1024 agents × long horizons (the conversion dominated the solve)
-    return [[tuple(c) for c in row] for row in out[:, :L].tolist()]
+    keep = L if max_rows is None else min(L, max_rows)
+    return [[tuple(c) for c in row] for row in out[:, :keep].tolist()]
 
 
 def solve_ecbs(
@@ -219,6 +230,7 @@ def solve_ecbs(
     max_hl_nodes: int = 5000,
     return_lb: bool = False,
     time_limit_s: float = 10.0,
+    max_rows: Optional[int] = None,
 ):
     """Native ECBS; falls back to the Python implementation. `starts`
     is accepted for signature parity (ECBS plans from `currents`)."""
@@ -250,8 +262,9 @@ def solve_ecbs(
     if T < 0:
         paths = None
     else:
+        keep = T if max_rows is None else min(T, max_rows)
         paths = [
-            [tuple(int(v) for v in out[i, t]) for t in range(T)]
+            [tuple(int(v) for v in out[i, t]) for t in range(keep)]
             for i in range(n)
         ]
     if return_lb:

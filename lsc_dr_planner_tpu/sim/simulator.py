@@ -664,6 +664,7 @@ class MultiSyncSimulator:
                             or (p.mapf_commit_ecbs
                                 and len(group) <= p.mapf_ecbs_max_agents)
                         ),
+                        rows=2,  # per-step mode consumes only row 1
                     )
                     self._ps_memo[ps_sig] = paths
                     while len(self._ps_memo) > 256:  # bounded memo
@@ -866,12 +867,14 @@ class MultiSyncSimulator:
 
     # ==================================================================
     def _solve_group(self, occ2d, group, cells_start, cells_cur, cells_goal,
-                     use_ecbs: bool):
+                     use_ecbs: bool, rows: Optional[int] = None):
         """One joint MAPF solve for a group, with margined-grid →
         margin-free fallback (grid_based_planner.cpp:262-283 cell
         unblocking; occupancy semantics :102-139). `use_ecbs` selects
         bounded native ECBS (committed-MCP mode) vs PIBT with carried
-        elapsed priorities (per-step mode)."""
+        elapsed priorities (per-step mode). `rows` truncates the
+        RETURNED paths (per-step mode consumes only row 1 — full-path
+        tuple conversion dominated the host phase at fleet scale)."""
         p = self.param
 
         def solve(occ):
@@ -891,6 +894,7 @@ class MultiSyncSimulator:
                     occ, cells_start, cells_cur, cells_goal,
                     max_hl_nodes=p.mapf_hl_nodes,
                     time_limit_s=p.mapf_time_limit_s,
+                    max_rows=rows,
                 )
                 if paths is not None or p.mapf_mode == MAPFMode.ECBS:
                     self._log("solve", ("ecbs", len(group),
@@ -905,6 +909,7 @@ class MultiSyncSimulator:
             paths = pibtmod.solve_pibt(
                 occ, cells_start, cells_cur, cells_goal, seed=0,
                 init_elapsed=[int(self.mapf_elapsed[i]) for i in group],
+                max_rows=rows,
             )
             if not use_ecbs:
                 self._log("solve_ps", ("pibt", len(group),
