@@ -215,6 +215,101 @@ def construct_sfc_from_hull(gw: GridWorld, sfc_lo, sfc_hi, hull_pts, next_waypoi
     )
 
 
+def construct_sfc_substep(gw: GridWorld, sfc_lo, sfc_hi, hull_pts,
+                          next_waypoint, init_ctrl, margin: float,
+                          max_radius_cells: int = 0):
+    """DLSC sub-step corridor update (multisim_time_step < dt).
+
+    The reference shifts the corridor one box per planning CALL
+    (collision_constraints.cpp:396-436) — correct when each call
+    advances the plan one full segment (LSC), but at sub-step cadence
+    the segment grid advances only ts/dt of a segment per call, so an
+    unconditional shift races the corridor ahead of the trajectory
+    until the QP bounds exclude the reachable set entirely (measured:
+    ~0.9 m initial-trajectory bound violations → mass failsafe → the
+    fleet stalls; the reference's own DLSC experiments run without an
+    octomap, so its SFC never exercises this).
+
+    Sub-step rule (batched, per agent): advance the corridor one box
+    ONLY when the shifted corridor still contains the initial
+    trajectory (segment m ⊂ box m+1 for every m) — the QP feasibility
+    invariant. Otherwise keep the current boxes. The LAST box is
+    rebuilt from the {initial end, current goal} hull either way, with
+    a full-last-segment containment guard (falling back to the
+    previous last box, which contains initial segment M−1 = previous
+    solution segment M−1 by induction).
+
+    init_ctrl: [M, N, 3] initial-trajectory control points.
+    """
+    M = sfc_lo.shape[0]
+    prev_lo, prev_hi = sfc_lo[-1], sfc_hi[-1]
+
+    # new last box: same two attempts as construct_sfc_from_hull
+    pts_g = jnp.concatenate([hull_pts, next_waypoint[None]], axis=0)
+    lo1 = gw.point_to_lattice_round(jnp.min(pts_g, axis=0))
+    hi1 = gw.point_to_lattice_round(jnp.max(pts_g, axis=0))
+    e1lo, e1hi, ok1 = expand_box(gw, lo1, hi1, default_axis_order(),
+                                 max_radius_cells=max_radius_cells)
+    ok1 &= _superset_of(gw, e1lo, e1hi, pts_g)
+    lo2 = gw.point_to_lattice_floor(jnp.min(hull_pts, axis=0))
+    hi2 = gw.point_to_lattice_ceil(jnp.max(hull_pts, axis=0))
+    included = jnp.all(lo2 >= prev_lo) & jnp.all(hi2 <= prev_hi)
+    lo2 = jnp.where(included, lo2, jnp.maximum(lo2, prev_lo))
+    hi2 = jnp.where(included, hi2, jnp.minimum(hi2, prev_hi))
+    e2lo, e2hi, ok2 = expand_box(gw, lo2, hi2, default_axis_order(),
+                                 max_radius_cells=max_radius_cells)
+    ok2 &= _superset_of(gw, e2lo, e2hi, hull_pts)
+    # feasibility guard beyond the reference's hull check: the new last
+    # box must contain the WHOLE initial last segment (in DLSC it is a
+    # real segment, not the stationary horizon point of LSC mode)
+    ok1 &= _superset_of(gw, e1lo, e1hi, init_ctrl[M - 1])
+    ok2 &= _superset_of(gw, e2lo, e2hi, init_ctrl[M - 1])
+    new_lo = jnp.where(ok1, e1lo, jnp.where(ok2, e2lo, prev_lo))
+    new_hi = jnp.where(ok1, e1hi, jnp.where(ok2, e2hi, prev_hi))
+
+    # Per-SEGMENT box update for m < M−1 (an all-segments-simultaneous
+    # shift freezes the whole corridor on one laggard segment until
+    # feasibility breaks — measured): box m takes the first candidate
+    # containing initial segment m, trying (a) previous box m+1 (the
+    # advancing shift), (b) previous box m (hold), (c) a fresh box
+    # expanded from the segment's own bounding box.
+    eps = 1e-3
+
+    def contains(blo, bhi, pts):
+        lo_w, hi_w = sfc_to_world(gw, blo, bhi, margin)
+        return jnp.all((pts >= lo_w - eps) & (pts <= hi_w + eps))
+
+    los, his = [], []
+    for m in range(M - 1):
+        seg = init_ctrl[m]
+        c_shift = contains(sfc_lo[m + 1], sfc_hi[m + 1], seg)
+        c_hold = contains(sfc_lo[m], sfc_hi[m], seg)
+        flo = gw.point_to_lattice_floor(jnp.min(seg, axis=0))
+        fhi = gw.point_to_lattice_ceil(jnp.max(seg, axis=0))
+        elo, ehi, eok = expand_box(gw, flo, fhi, default_axis_order(),
+                                   max_radius_cells=max_radius_cells)
+        eok &= contains(elo, ehi, seg)
+        mlo = jnp.where(
+            c_shift, sfc_lo[m + 1],
+            jnp.where(c_hold, sfc_lo[m], jnp.where(eok, elo, sfc_lo[m])),
+        )
+        mhi = jnp.where(
+            c_shift, sfc_hi[m + 1],
+            jnp.where(c_hold, sfc_hi[m], jnp.where(eok, ehi, sfc_hi[m])),
+        )
+        los.append(mlo)
+        his.append(mhi)
+
+    # last box: the hull rebuild above, holding the previous last box if
+    # it fails to contain the initial last segment
+    keep_new = (ok1 | ok2)
+    llo = jnp.where(keep_new, new_lo, prev_lo)
+    lhi = jnp.where(keep_new, new_hi, prev_hi)
+    los.append(llo)
+    his.append(lhi)
+    return jnp.stack(los), jnp.stack(his), keep_new
+
+
 def _superset_of(gw: GridWorld, lo, hi, pts):
     """Containment check against the margin-COMPENSATED box (the
     reference checks isSuperSetOfConvexHull on the box returned by

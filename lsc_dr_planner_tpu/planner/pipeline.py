@@ -429,10 +429,15 @@ class FleetPlanner:
 
         # ---------- stage 3: LSC construction -----------------------------
         if p.planner_mode in (PlannerMode.DLSC, PlannerMode.LSC):
-            if (
-                p.planner_mode == PlannerMode.LSC
-                and p.goal_mode == GoalMode.GRID_BASED_PLANNER
-            ):
+            # CLSC whenever the DR waypoint layer drives the goals: the
+            # layer's deadlock-freedom argument rests on the goal-aware
+            # CLSC margins. The reference dispatches CLSC only for
+            # LSC+grid_based (traj_planner.cpp:556-559) because its DLSC
+            # experiments never ran the DR layer (open worlds, static /
+            # prior goals); DLSC+DR with plain LSC wedges measurably
+            # (forest10_2: goal LPs pin against neighbor predictions and
+            # the fleet livelocks at ~t=15 s).
+            if p.goal_mode == GoalMode.GRID_BASED_PLANNER:
                 ls = lsc.build_clsc(
                     initial_ctrl, obs_pred, obs_goal,
                     fleet.radius, fleet.downwash, obs_radius, obs_downwash,
@@ -463,9 +468,13 @@ class FleetPlanner:
 
         # ---------- stage 4: SFC construction -----------------------------
         gw = self.world
+        substep = (
+            p.planner_mode == PlannerMode.DLSC
+            and p.multisim_time_step != p.dt
+        )
         if p.world_use_octomap:
             def update_sfc(args, occ_a=None):
-                slo, shi, init_done, last_pt, cgoal, wpt, pos = args
+                slo, shi, init_done, last_pt, cgoal, wpt, pos, ictrl = args
                 if occ_a is None:
                     gw_a = gw
                 else:
@@ -482,7 +491,14 @@ class FleetPlanner:
                 # first iteration / disturbed: initialize from position
                 ilo, ihi, _ = sfc.initialize_sfc(
                     gw_a, pos, M, max_radius_cells=self.sfc_expand_cells)
-                if p.goal_mode == GoalMode.GRID_BASED_PLANNER:
+                if substep:
+                    # DLSC sub-step: corridor advances only when the
+                    # shifted boxes still contain the initial trajectory
+                    hull = jnp.stack([last_pt, cgoal], axis=0)
+                    ulo, uhi, _ = sfc.construct_sfc_substep(
+                        gw_a, slo, shi, hull, wpt, ictrl, self.sfc_margin,
+                        max_radius_cells=self.sfc_expand_cells)
+                elif p.goal_mode == GoalMode.GRID_BASED_PLANNER:
                     hull = jnp.stack([last_pt, cgoal], axis=0)
                     ulo, uhi, _ = sfc.construct_sfc_from_hull(
                         gw_a, slo, shi, hull, wpt,
@@ -500,6 +516,7 @@ class FleetPlanner:
                 inp.sfc_initialized & jnp.logical_not(inp.is_disturbed),
                 trajectory.last_point(initial_ctrl),
                 inp.current_goal, inp.next_waypoint, inp.pos,
+                initial_ctrl,
             )
             # XLA's TPU gather lowering falls off a cliff at batch 1024
             # exactly (measured: 100 µs/agent flat through A=992, then
@@ -584,11 +601,16 @@ class FleetPlanner:
         nrm = ls.normals[..., :dim]
         # qp_safety_margin: tiny margin inflation so that solutions within
         # the ADMM feasibility tolerance still certify true separation
-        # (the reference's simplex solutions are exact; ours are ε-accurate)
+        # (the reference's simplex solutions are exact; ours are ε-accurate).
+        # Sub-step (DLSC) replanning adds a few mm: the seg-0 time
+        # dilation of the predictions shifts the pairwise point
+        # correspondence within the first segment by O(ts/dt) of the
+        # per-step drift (measured 0.6 mm grazing on forest10_2 DLSC).
+        qp_margin = 1e-3 + (4e-3 if substep else 0.0)
         rhs = (
             jnp.einsum("aomd,aomnd->aomn", nrm, ls.anchors[..., :dim])
             + ls.margins
-            + 1e-3
+            + qp_margin
         )
         nnorm = jnp.linalg.norm(ls.normals, axis=-1)
         active = obs_valid[..., None, None] & (nnorm > 1e-6)[..., None]

@@ -463,6 +463,20 @@ class MultiSyncSimulator:
         if p.goal_mode != GoalMode.GRID_BASED_PLANNER:
             return
 
+        # DLSC sub-step mode: the waypoint layer advances at the SEGMENT
+        # cadence (dt), not the replanning cadence. Its dynamics — one
+        # grid cell per step, progress/pin windows, comm-range boxes —
+        # are calibrated to bodies that traverse ~one cell per segment;
+        # at sub-step cadence the virtual waypoints outrun the bodies
+        # (jerk-limited starts cover ~(ts/dt)³ of a segment per sub-step)
+        # and pairs wedge side-by-side at single-file passages (measured
+        # on forest10_2 DLSC). The trajectory layer still replans every
+        # sub-step — that is DLSC's actual contribution.
+        if p.multisim_time_step < p.dt:
+            k = max(1, int(round(p.dt / p.multisim_time_step)))
+            if self.planner_seq % k != 0:
+                return
+
         # local-sensing mode: the MAPF grid reflects only DISCOVERED
         # obstacles (reference: GridBasedPlanner occupancy comes from the
         # agent's own distmap, grid_based_planner.cpp:102-139; after

@@ -48,14 +48,25 @@ def random_world(rng, kind, half):
             cx, cy = rng.uniform(-half + 1, half - 1, 2)
             boxes.append([cx, cy, 1.0, s, s, 2.0])
     else:  # maze-like wall field
+        # Wall center lines snap to the 0.5 m MAPF-grid CELL-CENTER
+        # lattice, like the reference's maze worlds: a thin wall at an
+        # arbitrary offset can slice the transition between two free
+        # cell centers without marking either cell occupied — a world
+        # family outside the (cell-based) grid semantics of both the
+        # reference and this repo, which livelocks the waypoint layer
+        # by construction (measured, seed 2002).
+        def snap_center(v):
+            # grid NODES sit on multiples of 0.5 (build_coarse_grid)
+            return np.round(v / 0.5) * 0.5
+
         n = int(rng.integers(6, 16))
         for _ in range(n):
             L = rng.uniform(1.0, 2.0 * half - 2.0)
             cx, cy = rng.uniform(-half + 1, half - 1, 2)
             if rng.random() < 0.5:
-                boxes.append([cx, cy, 1.0, L, 0.1, 2.0])
+                boxes.append([cx, snap_center(cy), 1.0, L, 0.1, 2.0])
             else:
-                boxes.append([cx, cy, 1.0, 0.1, L, 2.0])
+                boxes.append([snap_center(cx), cy, 1.0, 0.1, L, 2.0])
     return np.asarray(boxes).reshape(-1, 6)
 
 
