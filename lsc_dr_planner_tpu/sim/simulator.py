@@ -589,8 +589,17 @@ class MultiSyncSimulator:
                  | (self._no_progress[garr] >= NO_PROGRESS_K))
                 & ~at_goal_now[garr]
             )) and not all(self._mcp_mode[garr]):
+                # sub-step mode: preserve no-progress accrual for members
+                # ALREADY in MCP — bodies lag the virtual waypoints, so
+                # group-membership churn re-escalates often and a full
+                # reset starves the MCP_FALLBACK valve forever (measured
+                # livelock: escalate×7 cycling, forest10_2 DLSC)
+                if p.multisim_time_step < p.dt:
+                    newly = [i for i in group if not self._mcp_mode[i]]
+                    self._no_progress[newly] = 0
+                else:
+                    self._no_progress[list(group)] = 0
                 self._mcp_mode[list(group)] = True
-                self._no_progress[list(group)] = 0
                 # re-sync the group's virtual waypoints to the bodies'
                 # actual cells (where free): the per-step phase can leave
                 # waypoints ahead of contact-wedged bodies, and a

@@ -115,3 +115,34 @@ def test_reference_log_audit_parity():
 
     # summary_LSC_10agents.csv:2 logs safety_ratio_agent = 1.02144
     assert min_ratio == pytest.approx(1.02144, abs=0.02)
+
+
+@pytest.mark.slow
+def test_forest10_10_dlsc_substep_end_to_end():
+    """DLSC sub-step replanning (ts=0.1 < dt=0.2) on the reference's
+    forest10 headline mission: collision-free, zero excess, and flight
+    time at least matching the LSC result (measured 15.3 s vs LSC's
+    reference-equal 15.8 s)."""
+    from lsc_dr_planner_tpu.config import Param, PlannerMode
+    from lsc_dr_planner_tpu.mission import Mission
+    from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
+
+    param = Param(
+        world_dimension=2, world_use_octomap=True, communication_range=3.0,
+        multisim_save_result=False, multisim_max_planner_iteration=400,
+        planner_mode=PlannerMode.DLSC, multisim_time_step=0.1,
+        profile_stages=False,
+    )
+    mission = Mission.load(
+        f"{REF}/missions/forest10/forest10_10.json",
+        world_file=f"{REF}/world/forest/forest10.csv",
+        world_dimension=2, world_z_2d=param.world_z_2d,
+    )
+    sim = MultiSyncSimulator(param, mission, log_dir="/tmp/test_ref_log")
+    r = sim.run()
+    assert not r["is_collided"]
+    assert not r["qp_failed"]
+    assert r["safety_ratio_agent"] >= 1.0
+    assert r["vel_excess_ratio"] == 0.0
+    assert r["acc_excess_ratio"] == 0.0
+    assert r["total_flight_time"] <= 17.5
