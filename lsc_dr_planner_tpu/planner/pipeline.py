@@ -606,7 +606,12 @@ class FleetPlanner:
         # dilation of the predictions shifts the pairwise point
         # correspondence within the first segment by O(ts/dt) of the
         # per-step drift (measured 0.6 mm grazing on forest10_2 DLSC).
-        qp_margin = 1e-3 + (4e-3 if substep else 0.0)
+        # In sub-step mode the margin is sized ABOVE the (loosened)
+        # feasibility gate: accepted ε-solutions then still certify true
+        # separation. CLSC's crowded sub-step instances stall at an ADMM
+        # floor of ~7e-3 — rejecting those 99%-feasible plans into the
+        # failsafe froze whole missions (maze10_sparse DLSC).
+        qp_margin = 1e-2 if substep else 1e-3
         rhs = (
             jnp.einsum("aomd,aomnd->aomn", nrm, ls.anchors[..., :dim])
             + ls.margins
@@ -672,7 +677,9 @@ class FleetPlanner:
                 else None
             ),
         )
-        out = qp.solve(self.qp_cfg, qp_inp)
+        out = qp.solve(
+            self.qp_cfg, qp_inp, feas_tol=(8e-3 if substep else 5e-3)
+        )
 
         # assemble 3-D control points; failsafe = initial trajectory
         desired = out.x.transpose(0, 2, 3, 1)  # [A, M, N, dim]
