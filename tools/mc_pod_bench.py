@@ -71,7 +71,11 @@ def main():
         A, [-half, -half, 0], [half, half, 2.5], seed=0,
     )
     param = Param(world_use_octomap=False, communication_range=3.0,
-                  profile_stages=False)
+                  profile_stages=False,
+                  # the straggler-rescue second loop duplicates the ADMM
+                  # working set under the scenario vmap — out of HBM at
+                  # S=8 x A=1024; scenarios rely on the failsafe instead
+                  qp_rescue_iter=0)
     for S in [int(s) for s in args.S.split(",")]:
         row = bench_one(A, S, args.steps, mission, param)
         print(json.dumps(row), flush=True)
