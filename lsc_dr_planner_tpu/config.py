@@ -145,7 +145,11 @@ class Param:
     # Default 100: bounds the worst committed-plan solve to ~90-190 ms
     # (measured across the 90-mission suite, commit 17c25c3) so the MAPF
     # layer respects the 0.2 s replanning budget; flight times match the
-    # unbounded setting. Raise for offline/quality-first runs.
+    # unbounded setting. NOTE (breaking default change in r4, was 5000):
+    # outside the measured suite a 100-node budget can fall back to
+    # PIBT where the old default found bounded-suboptimal ECBS plans —
+    # a deliberate latency-over-quality trade for the real-time budget.
+    # Raise to ≥5000 for offline/quality-first runs.
     mapf_hl_nodes: int = 100
     mapf_time_limit_s: float = 60.0
 
@@ -180,6 +184,10 @@ class Param:
     # Masked-compaction rescue budget for ADMM stragglers (extra
     # iterations on a compacted batch of the worst agents; 0 disables).
     # PERF_NOTES_r3 §2: stragglers converge by ~1000 iterations.
+    # Monte-Carlo scenario batching keeps this enabled safely: the
+    # scenario step flattens S × A into ONE QP batch so a single rescue
+    # compaction serves every replica (montecarlo.py; the r4 per-lane
+    # rescue OOMed single-chip HBM at S=8 × A=1024).
     qp_rescue_iter: int = 800
     # Dual warm start: carry each agent's ADMM duals across replanning
     # steps (the constraint families keep their row structure step to

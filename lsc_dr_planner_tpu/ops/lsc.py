@@ -288,7 +288,7 @@ def build_reciprocal_rsfc(
     )
     # reference scales n_z by 1/downwash² here (traj_planner.cpp:602-604)
     normal = jnp.concatenate(
-        [normal[..., :2], (normal[..., 2] / (dw[..., None, None] ** 2))[..., None]],
+        [normal[..., :2], (normal[..., 2] / (dw[..., None] ** 2))[..., None]],
         axis=-1,
     )
     normal = jnp.where(obs_mask[..., None, None], normal, 0.0)

@@ -62,6 +62,15 @@ def required_hops(pos: np.ndarray, n_shards: int, comm_range: float,
     (agents assumed already sorted along sort_axis)."""
     x = np.sort(np.asarray(pos)[:, sort_axis])
     A = len(x)
+    # shard_map (and shard_step_inputs) require an evenly divisible agent
+    # axis; with a ragged split the Al-strided slab starts below would
+    # drift from the actual layout and under-estimate the hop bound,
+    # silently dropping in-range neighbors (ADVICE r4)
+    if A % n_shards != 0:
+        raise ValueError(
+            f"agent count {A} must divide evenly into {n_shards} shards "
+            "(pad the fleet or change the mesh)"
+        )
     Al = A // n_shards
     # slab boundaries (first coordinate of each slab)
     starts = x[np.arange(n_shards) * Al]
@@ -190,14 +199,19 @@ def make_halo_step(planner: FleetPlanner, mesh: Mesh, hops: int = 1,
     cache = {}
 
     def step(fleet_s, inp_s):
-        if "fn" not in cache:  # in_specs depend on which optional leaves
-            in_specs = (fleet_specs, make_in_specs(inp_s))  # are present
-            cache["fn"] = jax.jit(
+        # in_specs depend on which optional StepInputs leaves are present
+        # (e.g. occ_known / qp_y0 flipping between None and an array), so
+        # the jitted shard_map is keyed on that presence tuple — one
+        # frozen entry would miss-shard later calls (ADVICE r4)
+        key = tuple(v is None for v in inp_s)
+        if key not in cache:
+            in_specs = (fleet_specs, make_in_specs(inp_s))
+            cache[key] = jax.jit(
                 jax.shard_map(
                     shard_fn, mesh=mesh, in_specs=in_specs,
                     out_specs=P(axis), check_vma=False,
                 )
             )
-        return cache["fn"](fleet_s, inp_s)
+        return cache[key](fleet_s, inp_s)
 
     return step

@@ -94,6 +94,21 @@ class NeighborData(NamedTuple):
     valid: jnp.ndarray  # [A, OA] bool
 
 
+class DeferredQP(NamedTuple):
+    """Stage 1–5 products + the assembled QP problem, returned by
+    `_step_impl(..., defer_qp=True)` so a caller can batch the QP solve
+    across an OUTER axis (Monte-Carlo flattens the scenario × agent axes
+    into one so the straggler-rescue compaction spans the whole S·A
+    batch instead of duplicating per scenario lane)."""
+
+    qp_inp: "object"  # qp.QPInputs
+    initial_ctrl: jnp.ndarray
+    new_goal: jnp.ndarray
+    new_sfc_lo: jnp.ndarray
+    new_sfc_hi: jnp.ndarray
+    obs_pred: jnp.ndarray
+
+
 class StepOutputs(NamedTuple):
     desired_ctrl: jnp.ndarray  # [A, M, N, 3]
     current_goal: jnp.ndarray  # [A, 3]
@@ -258,7 +273,8 @@ class FleetPlanner:
     # ==================================================================
     def _step_impl(self, fleet: FleetArrays, inp: StepInputs,
                    stop_after: int = 0,
-                   neighbors: Optional[NeighborData] = None) -> StepOutputs:
+                   neighbors: Optional[NeighborData] = None,
+                   defer_qp: bool = False) -> StepOutputs:
         # stop_after > 0: return a checksum after pipeline stage k — used
         # by measure_stage_times() for prefix-difference stage timing
         p = self.param
@@ -677,30 +693,59 @@ class FleetPlanner:
                 else None
             ),
         )
-        out = qp.solve(
-            self.qp_cfg, qp_inp, feas_tol=(8e-3 if substep else 5e-3)
+        deferred = DeferredQP(
+            qp_inp=qp_inp,
+            initial_ctrl=initial_ctrl,
+            new_goal=new_goal,
+            new_sfc_lo=new_sfc_lo,
+            new_sfc_hi=new_sfc_hi,
+            obs_pred=obs_pred,
         )
+        if defer_qp:
+            return deferred
+        out = qp.solve(self.qp_cfg, qp_inp, feas_tol=self.feas_tol)
+        return self.finish_step(out, deferred)
 
-        # assemble 3-D control points; failsafe = initial trajectory
+    # ==================================================================
+    @property
+    def feas_tol(self) -> float:
+        """QP feasibility gate: loosened in DLSC sub-step mode (crowded
+        CLSC instances stall at an ADMM floor ~7e-3; the enlarged
+        qp_margin still certifies true separation — see stage 6)."""
+        p = self.param
+        substep = (
+            p.planner_mode == PlannerMode.DLSC
+            and p.multisim_time_step != p.dt
+        )
+        return 8e-3 if substep else 5e-3
+
+    # ==================================================================
+    def finish_step(self, out, d: DeferredQP) -> StepOutputs:
+        """Post-QP assembly: 3-D control points + the reference's
+        failsafe (keep the initial trajectory on non-convergence,
+        traj_planner.cpp:795-797)."""
+        p = self.param
+        A, M, N = d.initial_ctrl.shape[0], p.M, p.n + 1
+        f32 = jnp.float32
         desired = out.x.transpose(0, 2, 3, 1)  # [A, M, N, dim]
-        if dim == 2:
+        if p.world_dimension == 2:
             z = jnp.full((A, M, N, 1), p.world_z_2d, f32)
             desired = jnp.concatenate([desired, z], axis=-1)
         desired = jnp.where(
-            out.converged[..., None, None, None], desired, initial_ctrl
+            out.converged[..., None, None, None], desired, d.initial_ctrl
         )
 
         return StepOutputs(
             desired_ctrl=desired,
-            current_goal=new_goal,
-            sfc_lo=new_sfc_lo,
-            sfc_hi=new_sfc_hi,
+            current_goal=d.new_goal,
+            sfc_lo=d.new_sfc_lo,
+            sfc_hi=d.new_sfc_hi,
             sfc_initialized=jnp.ones((A,), bool),
             qp_converged=out.converged,
             qp_residual=out.primal_residual,
             qp_iterations=out.iterations,
-            obs_pred_ctrl=obs_pred,
-            initial_ctrl=initial_ctrl,
+            obs_pred_ctrl=d.obs_pred,
+            initial_ctrl=d.initial_ctrl,
             qp_y=out.y,
         )
 

@@ -298,7 +298,7 @@ def test_fuzz_subset_deadlock_free():
     cases = [(2001, "hybrid"), (2002, "mcp"), (2003, "auto")]
     for seed, layer in cases:
         r = run_case(seed, layer, A=8)
-        assert "skip" not in r or r.get("clean") is not None, r
-        if "skip" in r:
-            continue
+        # these seeds are known to generate successfully — a skip row
+        # (mission generation failure) is itself a regression
+        assert "skip" not in r, (seed, layer, r)
         assert r["clean"], (seed, layer, r)

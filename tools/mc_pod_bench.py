@@ -31,15 +31,19 @@ def bench_one(A, S, steps, mission, param):
     mc.step(0)  # warm-up + compile
     t0 = time.perf_counter()
     phases = {"host": 0.0, "stack": 0.0, "device": 0.0, "apply": 0.0}
+    conv = []
     for it in range(1, steps + 1):
         mc.step(it)
         for k in phases:
             phases[k] += mc.phase_times[k]
+        conv.append(mc.last_qp_convergence)
     dt = (time.perf_counter() - t0) / steps
     row = {
         "A": A, "S": S, "steps": steps, "built_s": round(t_build, 1),
         "step_s": round(dt, 3),
         "agent_scenario_steps_per_s": round(A * S / dt, 1),
+        "qp_convergence_min": round(min(conv), 5),
+        "qp_convergence_mean": round(sum(conv) / len(conv), 5),
         "phases_s": {k: round(v / steps, 3) for k, v in phases.items()},
     }
     del mc
@@ -70,12 +74,12 @@ def main():
     mission = generate_random_mission(
         A, [-half, -half, 0], [half, half, 2.5], seed=0,
     )
+    # straggler rescue stays ENABLED: the scenario step flattens the
+    # S × A axes into one QP batch, so the rescue compaction runs once
+    # over the whole flattened batch (montecarlo.py) instead of
+    # duplicating its working set per vmap lane (the r4 OOM).
     param = Param(world_use_octomap=False, communication_range=3.0,
-                  profile_stages=False,
-                  # the straggler-rescue second loop duplicates the ADMM
-                  # working set under the scenario vmap — out of HBM at
-                  # S=8 x A=1024; scenarios rely on the failsafe instead
-                  qp_rescue_iter=0)
+                  profile_stages=False)
     for S in [int(s) for s in args.S.split(",")]:
         row = bench_one(A, S, args.steps, mission, param)
         print(json.dumps(row), flush=True)
