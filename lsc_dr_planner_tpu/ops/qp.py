@@ -669,7 +669,27 @@ def solve(cfg: QPConfig, inputs: QPInputs, feas_tol: float = 5e-3) -> QPResult:
         )
         return xi, z, y, itdone, ck_f * CHUNK
 
-    xi, z, y, itdone, iters = admm_loop(
+    # ---- iteration-loop dispatch: Pallas kernel (TPU) or XLA ----------
+    # The Pallas kernel (ops/qp_pallas.py) runs the same chunked loop
+    # VMEM-resident — the XLA lowering measured 11× off HBM
+    # speed-of-light (tools/qp_profile.py). The XLA loop remains the
+    # reference path and serves the CPU backend.
+    from lsc_dr_planner_tpu.ops import qp_pallas
+
+    _mode = qp_pallas.pallas_mode()
+
+    def run_loop(B_, normals_, Kinv_, Pn_, qn_, ln_, un_, rho_, scale_,
+                 xi_, z_, y_, max_it):
+        if _mode == "off":
+            return admm_loop(B_, normals_, Kinv_, Pn_, qn_, ln_, un_,
+                             rho_, scale_, xi_, z_, y_, max_it)
+        return qp_pallas.admm_loop_pallas(
+            cfg, st, normals_, Kinv_, Pn_, qn_, ln_, un_, scale_,
+            xi_, z_, y_, max_it, feas_tol,
+            interpret=(_mode == "interpret"),
+        )
+
+    xi, z, y, itdone, iters = run_loop(
         A, normals, Kinv, Pn_dim, qn, ln, un, rho, scale,
         xi0, z0, y0, cfg.max_iter,
     )
@@ -683,7 +703,7 @@ def solve(cfg: QPConfig, inputs: QPInputs, feas_tol: float = 5e-3) -> QPResult:
     # converged agents through the loop with them.
     RESCUE = 64
     if cfg.rescue_iter > 0 and A <= RESCUE:
-        xi, z, y, itdone2, iters2 = admm_loop(
+        xi, z, y, itdone2, iters2 = run_loop(
             A, normals, Kinv, Pn_dim, qn, ln, un, rho, scale,
             xi, z, y, cfg.rescue_iter,
         )
@@ -703,7 +723,7 @@ def solve(cfg: QPConfig, inputs: QPInputs, feas_tol: float = 5e-3) -> QPResult:
         def g(t):
             return t[idx]
 
-        xi_r, z_r, y_r, it_r, iters2 = admm_loop(
+        xi_r, z_r, y_r, it_r, iters2 = run_loop(
             RESCUE, g(normals), g(Kinv), g(Pn_dim), g(qn), g(ln), g(un),
             g(rho), g(scale), g(xi), g(z), g(y), cfg.rescue_iter,
         )
