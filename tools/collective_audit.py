@@ -138,10 +138,14 @@ def audit_halo(A, nd, hops=1):
     hstep_raw(fleet_s, inp_s)  # build+cache the jitted fn
     # re-lower for HLO text
     fn = None
-    # reach into the closure cache for the jitted function
+    # reach into the closure cache for the jitted function (keyed by the
+    # optional-leaf presence tuple since r5)
     for cell in hstep_raw.__closure__ or []:
-        if isinstance(cell.cell_contents, dict) and "fn" in cell.cell_contents:
-            fn = cell.cell_contents["fn"]
+        c = cell.cell_contents
+        if isinstance(c, dict) and c and all(
+            callable(v) for v in c.values()
+        ):
+            fn = next(iter(c.values()))
     hlo_h = fn.lower(fleet_s, inp_s).compile().as_text()
     colls_h, bytes_h = _hlo_collectives(hlo_h)
 
