@@ -199,6 +199,9 @@ def admm_loop_pallas(cfg, statics, normals, Kinv, Pn, qn, ln, un,
             pltpu.VMEM((BLOCK, 1), f32),          # noimp
             pltpu.VMEM((BLOCK, 1), f32),          # itdone
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*nd, Kinv_p, Pn_p, qn_p, ln_l, ln_s, un_s, sinv_s, xi_p,
       z_l, z_s, y_l, y_s, An_stat, N3k, rho_s.reshape(1, R_stat))
@@ -309,7 +312,7 @@ def _admm_block_kernel(*refs, dim, K, O, MN, dk, R_stat, n_chunks,
         it = (ck + 1) * CHUNK
         # feasibility (row-scaled; LSC rows are one-sided, unit scale)
         viol_l = jnp.max(
-            jnp.maximum(ln_l - Ax_l, 0.0).reshape(B, O * MN), axis=-1
+            jnp.max(jnp.maximum(ln_l - Ax_l, 0.0), axis=2), axis=1
         )
         viol_s = jnp.max(
             jnp.maximum(jnp.maximum(ln_s - Ax_s, Ax_s - un_s), 0.0)
