@@ -188,12 +188,43 @@ def build_clsc(
     normal_last = (cp_agent - cp_obs) / jnp.maximum(seg_dist[..., None], _EPS_F)
     margin_last = 0.5 * (collision_dist[..., 0, 0] + seg_dist)  # [A, O]
 
-    # assemble: m < M-1 from hull, m = M-1 from segments
-    normal = normal_poly.at[..., M - 1, :].set(normal_last)
-    margins = margins_poly.at[..., M - 1, :].set(margin_last[..., None])
-    anchors = obs_ctrl.at[..., M - 1, :, :].set(
-        jnp.broadcast_to(cp_obs[..., None, :], (A, O, N, 3))
+    # Feasibility guard (DLSC sub-step): the line-to-line plane supports
+    # the SEGMENT [traj end → goal], so in LSC dt-mode the initial last
+    # segment — a stationary point at the trajectory end, ON that line
+    # (stop-at-horizon) — always satisfies it. In sub-step mode the
+    # initial last segment is the subSegment-reparameterized previous
+    # segment, a real moving arc whose interior control points can sit
+    # BEHIND the plane (measured 0.16 m at contact wedges,
+    # maze10_sparse DLSC): the hold trajectory itself becomes
+    # infeasible, the QP failsafes every step, and the body freezes
+    # permanently. Where the initial last segment violates the CLSC
+    # plane, fall back to the per-control-point hull plane (feasible by
+    # construction, same as the m < M−1 rows).
+    init_last = init_t[..., M - 1, :, :]  # [A, O, N, 3] (scaled frame)
+    proj_init = jnp.einsum(
+        "aond,aod->aon", init_last - cp_obs[..., None, :], normal_last
     )
+    clsc_ok = jnp.all(
+        proj_init >= margin_last[..., None] - 1e-4, axis=-1
+    )  # [A, O]
+
+    normal_m1 = jnp.where(
+        clsc_ok[..., None], normal_last, normal_poly[..., M - 1, :]
+    )
+    margins_m1 = jnp.where(
+        clsc_ok[..., None], margin_last[..., None],
+        margins_poly[..., M - 1, :],
+    )
+    anchors_m1 = jnp.where(
+        clsc_ok[..., None, None],
+        jnp.broadcast_to(cp_obs[..., None, :], (A, O, N, 3)),
+        obs_ctrl[..., M - 1, :, :],
+    )
+
+    # assemble: m < M-1 from hull, m = M-1 from segments (guarded)
+    normal = normal_poly.at[..., M - 1, :].set(normal_m1)
+    margins = margins_poly.at[..., M - 1, :].set(margins_m1)
+    anchors = obs_ctrl.at[..., M - 1, :, :].set(anchors_m1)
 
     # back to world coords
     normal = jnp.concatenate(

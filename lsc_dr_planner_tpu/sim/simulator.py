@@ -506,6 +506,17 @@ class MultiSyncSimulator:
         # This replaces the earlier blanket stall resets/yield
         # escalation, which thrashed healthy plans.
         RETREAT_K = 20
+        # communication groups, shared by the retreat valve and the
+        # per-group loop below. The occupancy/vetting semantics are
+        # PER-GROUP (reference: desired_waypoints vetting inside the
+        # group loop, multi_sync_simulator.cpp:214-291): an out-of-range
+        # agent's parked waypoint must not block a retreat — measured
+        # wedge (fuzz seed 1007): singleton agents pinned forever
+        # because a finished agent far across the map held their cell.
+        groups_list = self._groups()
+        group_label = np.empty(self.A, dtype=int)
+        for _gi, _g in enumerate(groups_list):
+            group_label[list(_g)] = _gi
         diverged = (
             np.linalg.norm(self.current_goal - self.next_waypoint, axis=-1)
             > EPS
@@ -534,8 +545,9 @@ class MultiSyncSimulator:
                 )
                 if key == mine:
                     continue  # synced cells: escape 1 (gate relax) applies
-                if wp_cells.get(key, set()) - {i}:
-                    continue  # another agent's waypoint holds our cell
+                if any(group_label[j] == group_label[i]
+                       for j in wp_cells.get(key, set()) if j != i):
+                    continue  # an IN-GROUP waypoint holds our cell
                 wpp = self.coarse.node_to_point(cell)
                 wpp[2] = (
                     self.pos[i][2] if p.world_dimension == 3 else p.world_z_2d
@@ -574,7 +586,7 @@ class MultiSyncSimulator:
 
         occ2d = self.coarse.occ2d().copy()
         seen_sigs = set()
-        for group in self._groups():
+        for group in groups_list:
             timer = Timer()
             garr = np.asarray(group)
             cells_start = [tuple(r) for r in
@@ -616,7 +628,8 @@ class MultiSyncSimulator:
                     )
                     if key == mine:
                         continue
-                    if wp_cells.get(key, set()) - {i}:
+                    if any(group_label[j] == group_label[i]
+                           for j in wp_cells.get(key, set()) if j != i):
                         continue
                     wpp = self.coarse.node_to_point(cell)
                     wpp[2] = (
