@@ -72,9 +72,14 @@ def run_one(mission, name, max_iter=1000):
     from lsc_dr_planner_tpu.config import GoalMode, Param, PlannerMode
     from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
 
+    # PRIOR_BASED goal planning: symmetric open-world swaps (the circle
+    # cases) deadlock under plain static goals by design — the DLSC
+    # paper's open-world experiments resolve them with priority-based
+    # goal yielding (reference goalPlanningWithPriority,
+    # src/traj_planner.cpp:481-538), which is the scheme validated here.
     p = Param(
         world_dimension=2, world_use_octomap=False,
-        communication_range=-1.0, goal_mode=GoalMode.STATIC,
+        communication_range=-1.0, goal_mode=GoalMode.PRIOR_BASED,
         planner_mode=PlannerMode.DLSC, multisim_time_step=0.1,
         multisim_max_planner_iteration=max_iter, profile_stages=False,
     )

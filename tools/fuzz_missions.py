@@ -129,6 +129,13 @@ def make_mission(rng, A, boxes, half, radius=0.15):
                 p = np.array([-half + (c[0] + 0.5) * res,
                               -half + (c[1] + 0.5) * res])
                 p = np.round(p / res) * res
+                # the 0.5-lattice rounding can push edge cells OUT of
+                # the world box (e.g. 5.85 → 6.0 > half=5.9): an agent
+                # born outside the fine lattice is infeasible from step
+                # 0 and reads as a deadlock (measured, seed 1007) —
+                # a generation artifact, not a planner failure
+                if np.max(np.abs(p)) > half - 0.3:
+                    continue
                 if occ[cell_of(p)]:
                     continue
                 if all(np.linalg.norm(p - q) >= 0.7 for q in pts + exclude):
@@ -159,16 +166,15 @@ def make_mission(rng, A, boxes, half, radius=0.15):
     return m
 
 
-def run_case(seed, layer, A=None):
+def run_case(seed, layer, A=None, amin=8, amax=32):
     from lsc_dr_planner_tpu.config import Param
     from lsc_dr_planner_tpu.sim.simulator import MultiSyncSimulator
 
     rng = np.random.default_rng(seed)
-    # 8-32 agents (8-64 originally; fleets ≥ ~40 wedge collision-free at
-    # ~0.15 m⁻² — large-fleet flow liveness is a known open item
-    # reported in PERF_NOTES_r4 — and such cases run ~40 min each on
-    # the 2-core host)
-    A = A if A is not None else int(rng.integers(8, 33))
+    # default 8-32 agents; the r5 crush-regime campaign passes
+    # --amin 40 --amax 64 (VERDICT r4 #2: the ≥40-agent regime at
+    # reference density was excluded in r4)
+    A = A if A is not None else int(rng.integers(amin, amax + 1))
     kind = "forest" if rng.random() < 0.5 else "maze"
     # World size ~1.5× the reference benchmark's agent density
     # (forest10: 10 agents / 100 m² = 0.1 m⁻²). Above ~0.3 m⁻² the DR
@@ -214,6 +220,10 @@ def main():
     ap.add_argument("--out", default="log/fuzz")
     ap.add_argument("--budget", type=float, default=1e9)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--amin", type=int, default=8)
+    ap.add_argument("--amax", type=int, default=32)
+    ap.add_argument("--layers", default="hybrid,mcp",
+                    help="comma list of forced layer modes per seed")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -233,13 +243,14 @@ def main():
     for i in range(args.n):
         seed = args.seed0 + i
         # alternate forced layer modes (both must be deadlock-free)
-        for layer in (("hybrid", "mcp") if not args.smoke else ("auto",)):
+        layers = tuple(args.layers.split(",")) if not args.smoke else ("auto",)
+        for layer in layers:
             if (seed, layer) in done:
                 continue
             if time.time() - t0 > args.budget:
                 print(f"# budget reached ({n_run} run)", flush=True)
                 return
-            r = run_case(seed, layer)
+            r = run_case(seed, layer, amin=args.amin, amax=args.amax)
             with open(path, "a") as f:
                 f.write(json.dumps(r) + "\n")
             if "skip" in r:
