@@ -241,6 +241,43 @@ def render_debug_frame(sim, out_path: str, segment: Optional[int] = None,
                     arrowprops=dict(arrowstyle="->", color=colors[fa],
                                     lw=0.8), zorder=3)
 
+    # feasible-region polytope for the focus agent: the intersection of
+    # its LSC half-planes with the segment's SFC box, vertex-enumerated
+    # by brute-force pairwise boundary intersection — the 2-D analog of
+    # the reference's 3-plane enumeration for RViz
+    # (CollisionConstraints::feasibleRegionToMarkerArrayMsg,
+    # src/collision_constraints.cpp:948-1018; vis-only there too)
+    planes = []  # (n2 [2], b) meaning n·x ≥ b
+    for o in range(normals.shape[0]):
+        n = normals[o]
+        if not valid[o] or np.linalg.norm(n[:2]) < 1e-6:
+            continue
+        planes.append((n[:2],
+                       float(np.dot(n[:2], anchors[o, :2]) + margins[o])))
+    lo_f, hi_f = sfc_lo_w[fa, seg], sfc_hi_w[fa, seg]
+    if sim.sfc_initialized[fa] and np.all(hi_f > lo_f):
+        planes += [(np.array([1.0, 0.0]), float(lo_f[0])),
+                   (np.array([-1.0, 0.0]), float(-hi_f[0])),
+                   (np.array([0.0, 1.0]), float(lo_f[1])),
+                   (np.array([0.0, -1.0]), float(-hi_f[1]))]
+    verts = []
+    for i in range(len(planes)):
+        for j in range(i + 1, len(planes)):
+            Amat = np.stack([planes[i][0], planes[j][0]])
+            if abs(np.linalg.det(Amat)) < 1e-9:
+                continue
+            x = np.linalg.solve(Amat, [planes[i][1], planes[j][1]])
+            if all(np.dot(n2p, x) >= b - 1e-6 for n2p, b in planes):
+                verts.append(x)
+    if len(verts) >= 3:
+        v = np.asarray(verts)
+        ctr = v.mean(axis=0)
+        order_v = np.argsort(np.arctan2(v[:, 1] - ctr[1], v[:, 0] - ctr[0]))
+        poly = v[order_v]
+        ax.add_patch(plt.Polygon(poly, closed=True, facecolor=colors[fa],
+                                 alpha=0.12, edgecolor=colors[fa],
+                                 lw=1.2, zorder=2))
+
     ax.set_xlim(sim.mission.world_min[0] - 0.5,
                 sim.mission.world_max[0] + 0.5)
     ax.set_ylim(sim.mission.world_min[1] - 0.5,

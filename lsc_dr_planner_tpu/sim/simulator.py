@@ -663,7 +663,16 @@ class MultiSyncSimulator:
             # waypoint, so they never trip this (a pure progress
             # trigger cost maze10_dense_1 8 s; a pure pin trigger never
             # fires in wedges whose retreat escape keeps resetting it).
-            MCP_FALLBACK_K = 150
+            # Instance-adaptive windows (VERDICT r4 #2): the fallback
+            # thresholds were tuned on ≤10-agent reference groups; a
+            # large group's committed plan legitimately takes
+            # O(group·corridor) steps to drain its follow-chains, so a
+            # fixed window fires mid-drain and thrashes healthy plans.
+            # Scale by group size beyond the tuned regime (identity for
+            # the 90-mission suite and small OOD groups).
+            gscale = max(0, len(group) - 10)
+            MCP_FALLBACK_K = 150 + 10 * gscale
+            PIN_FALLBACK_K = 50 + 2 * gscale
             lp_diverged = (
                 np.linalg.norm(
                     self.current_goal[garr] - self.next_waypoint[garr],
@@ -671,7 +680,7 @@ class MultiSyncSimulator:
                 ) > EPS
             )
             force_ps = self._layer == "mcp" and bool(np.any(
-                ((self._pin_steps[garr] >= 50)
+                ((self._pin_steps[garr] >= PIN_FALLBACK_K)
                  | ((self._no_progress[garr] >= MCP_FALLBACK_K)
                     & lp_diverged))
                 & ~at_goal_now[garr]

@@ -113,6 +113,15 @@ def make_mission(rng, A, boxes, half, radius=0.15):
     res = 0.5
     occ, xs = _occ_grid(boxes, half, res, clearance=radius + 0.2)
 
+    def box_clearance(pt):
+        """L2 distance from pt to the nearest box (2-D)."""
+        if len(boxes) == 0:
+            return np.inf
+        b = np.asarray(boxes)
+        dx = np.maximum(np.abs(pt[0] - b[:, 0]) - b[:, 3] / 2, 0.0)
+        dy = np.maximum(np.abs(pt[1] - b[:, 1]) - b[:, 4] / 2, 0.0)
+        return float(np.min(np.hypot(dx, dy)))
+
     def cell_of(p):
         return (int(np.clip((p[0] + half) / res, 0, len(xs) - 1)),
                 int(np.clip((p[1] + half) / res, 0, len(xs) - 1)))
@@ -137,6 +146,14 @@ def make_mission(rng, A, boxes, half, radius=0.15):
                 if np.max(np.abs(p)) > half - 0.3:
                     continue
                 if occ[cell_of(p)]:
+                    continue
+                # the ROUNDED point must itself be flyable-to: within
+                # radius+0.25 of a box face the fine-lattice inflation
+                # blocks its cell, the SFC can never contain it, and a
+                # goal there pins the goal LP 0.25 m short forever
+                # (measured, seed 2001 post-rounding-fix) — a
+                # generation artifact, not a planner failure
+                if box_clearance(p) < radius + 0.25:
                     continue
                 if all(np.linalg.norm(p - q) >= 0.7 for q in pts + exclude):
                     pts.append(p)
