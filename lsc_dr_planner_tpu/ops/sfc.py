@@ -310,6 +310,130 @@ def construct_sfc_substep(gw: GridWorld, sfc_lo, sfc_hi, hull_pts,
     return jnp.stack(los), jnp.stack(his), keep_new
 
 
+def update_sfc_fused(gw: GridWorld, mode: str, sfc_lo, sfc_hi, init_done,
+                     last_pt, cgoal, wpt, pos, init_ctrl, margin: float,
+                     max_radius_cells: int = 0):
+    """One-agent SFC update with ALL greedy expansions batched into a
+    single `lax.while_loop` (via an inner vmap over expansion lanes).
+
+    Exactly reproduces the sequential composition the pipeline used
+    before (initialize_sfc + construct_sfc_from_{hull,point} /
+    construct_sfc_substep + the init_done select): each lane's greedy
+    expansion is per-lane identical (vmap freezes finished lanes), but
+    the merged loop costs max(T_lane) trips instead of Σ T_lane —
+    the dominant term of the SFC stage at fleet scale (three sequential
+    while_loops in LSC mode, M+2 in DLSC sub-step mode).
+
+    mode: 'hull' (DR goal mode), 'point' (non-DR), 'substep' (DLSC
+    ts < dt). Returns (new_lo [M,3], new_hi [M,3], ok).
+    """
+    M = sfc_lo.shape[0]
+    prev_lo, prev_hi = sfc_lo[-1], sfc_hi[-1]
+
+    # ---- build all expansion-lane seeds upfront ----------------------
+    # lane 0: initialization seed from the current position
+    lo_i = gw.point_to_lattice_floor(pos)
+    hi_i = gw.point_to_lattice_ceil(pos)
+    ord_d = default_axis_order()
+
+    hull_pts = jnp.stack([last_pt, cgoal], axis=0)
+    los, his, orders = [lo_i], [hi_i], [ord_d]
+
+    if mode in ("hull", "substep"):
+        pts_g = jnp.concatenate([hull_pts, wpt[None]], axis=0)
+        lo1 = gw.point_to_lattice_round(jnp.min(pts_g, axis=0))
+        hi1 = gw.point_to_lattice_round(jnp.max(pts_g, axis=0))
+        lo2 = gw.point_to_lattice_floor(jnp.min(hull_pts, axis=0))
+        hi2 = gw.point_to_lattice_ceil(jnp.max(hull_pts, axis=0))
+        included = jnp.all(lo2 >= prev_lo) & jnp.all(hi2 <= prev_hi)
+        lo2 = jnp.where(included, lo2, jnp.maximum(lo2, prev_lo))
+        hi2 = jnp.where(included, hi2, jnp.minimum(hi2, prev_hi))
+        los += [lo1, lo2]
+        his += [hi1, hi2]
+        orders += [ord_d, ord_d]
+    else:  # 'point'
+        lo_p = gw.point_to_lattice_floor(last_pt)
+        hi_p = gw.point_to_lattice_ceil(last_pt)
+        included = jnp.all(lo_p >= prev_lo) & jnp.all(hi_p <= prev_hi)
+        lo_p = jnp.where(included, lo_p, jnp.maximum(lo_p, prev_lo))
+        hi_p = jnp.where(included, hi_p, jnp.minimum(hi_p, prev_hi))
+        los.append(lo_p)
+        his.append(hi_p)
+        orders.append(goal_directed_axis_order(
+            gw.lattice_to_point(lo_p), gw.lattice_to_point(hi_p), cgoal
+        ))
+
+    if mode == "substep":
+        for m in range(M - 1):
+            seg = init_ctrl[m]
+            los.append(gw.point_to_lattice_floor(jnp.min(seg, axis=0)))
+            his.append(gw.point_to_lattice_ceil(jnp.max(seg, axis=0)))
+            orders.append(ord_d)
+
+    e_lo, e_hi, e_ok = jax.vmap(
+        lambda l, h, o: expand_box(gw, l, h, o,
+                                   max_radius_cells=max_radius_cells)
+    )(jnp.stack(los), jnp.stack(his), jnp.stack(orders))
+
+    # ---- recompose the original functions' post-logic ----------------
+    ilo = jnp.broadcast_to(e_lo[0], (M, 3))
+    ihi = jnp.broadcast_to(e_hi[0], (M, 3))
+
+    if mode == "hull":
+        ok1 = e_ok[1] & _superset_of(gw, e_lo[1], e_hi[1], pts_g)
+        ok2 = e_ok[2] & _superset_of(gw, e_lo[2], e_hi[2], hull_pts)
+        new_lo = jnp.where(ok1, e_lo[1], jnp.where(ok2, e_lo[2], prev_lo))
+        new_hi = jnp.where(ok1, e_hi[1], jnp.where(ok2, e_hi[2], prev_hi))
+        ulo = jnp.concatenate([sfc_lo[1:], new_lo[None]], axis=0)
+        uhi = jnp.concatenate([sfc_hi[1:], new_hi[None]], axis=0)
+    elif mode == "point":
+        new_lo = jnp.where(e_ok[1], e_lo[1], prev_lo)
+        new_hi = jnp.where(e_ok[1], e_hi[1], prev_hi)
+        ulo = jnp.concatenate([sfc_lo[1:], new_lo[None]], axis=0)
+        uhi = jnp.concatenate([sfc_hi[1:], new_hi[None]], axis=0)
+    else:  # substep (construct_sfc_substep per-segment update)
+        ok1 = e_ok[1] & _superset_of(gw, e_lo[1], e_hi[1], pts_g)
+        ok2 = e_ok[2] & _superset_of(gw, e_lo[2], e_hi[2], hull_pts)
+        ok1 &= _superset_of(gw, e_lo[1], e_hi[1], init_ctrl[M - 1])
+        ok2 &= _superset_of(gw, e_lo[2], e_hi[2], init_ctrl[M - 1])
+        new_lo = jnp.where(ok1, e_lo[1], jnp.where(ok2, e_lo[2], prev_lo))
+        new_hi = jnp.where(ok1, e_hi[1], jnp.where(ok2, e_hi[2], prev_hi))
+
+        eps = 1e-3
+
+        def contains(blo, bhi, pts):
+            lo_w, hi_w = sfc_to_world(gw, blo, bhi, margin)
+            return jnp.all((pts >= lo_w - eps) & (pts <= hi_w + eps))
+
+        us_lo, us_hi = [], []
+        for m in range(M - 1):
+            seg = init_ctrl[m]
+            c_shift = contains(sfc_lo[m + 1], sfc_hi[m + 1], seg)
+            c_hold = contains(sfc_lo[m], sfc_hi[m], seg)
+            eok = e_ok[3 + m] & contains(e_lo[3 + m], e_hi[3 + m], seg)
+            mlo = jnp.where(
+                c_shift, sfc_lo[m + 1],
+                jnp.where(c_hold, sfc_lo[m],
+                          jnp.where(eok, e_lo[3 + m], sfc_lo[m])),
+            )
+            mhi = jnp.where(
+                c_shift, sfc_hi[m + 1],
+                jnp.where(c_hold, sfc_hi[m],
+                          jnp.where(eok, e_hi[3 + m], sfc_hi[m])),
+            )
+            us_lo.append(mlo)
+            us_hi.append(mhi)
+        keep_new = ok1 | ok2
+        us_lo.append(jnp.where(keep_new, new_lo, prev_lo))
+        us_hi.append(jnp.where(keep_new, new_hi, prev_hi))
+        ulo = jnp.stack(us_lo)
+        uhi = jnp.stack(us_hi)
+
+    lo = jnp.where(init_done, ulo, ilo)
+    hi = jnp.where(init_done, uhi, ihi)
+    return lo, hi
+
+
 def _superset_of(gw: GridWorld, lo, hi, pts):
     """Containment check against the margin-COMPENSATED box (the
     reference checks isSuperSetOfConvexHull on the box returned by

@@ -504,28 +504,20 @@ class FleetPlanner:
                         occ_a, gw.resolution, gw.radius
                     )
                     gw_a = local_grid_world(gw, occ_a, blk, S)
-                # first iteration / disturbed: initialize from position
-                ilo, ihi, _ = sfc.initialize_sfc(
-                    gw_a, pos, M, max_radius_cells=self.sfc_expand_cells)
-                if substep:
-                    # DLSC sub-step: corridor advances only when the
-                    # shifted boxes still contain the initial trajectory
-                    hull = jnp.stack([last_pt, cgoal], axis=0)
-                    ulo, uhi, _ = sfc.construct_sfc_substep(
-                        gw_a, slo, shi, hull, wpt, ictrl, self.sfc_margin,
-                        max_radius_cells=self.sfc_expand_cells)
-                elif p.goal_mode == GoalMode.GRID_BASED_PLANNER:
-                    hull = jnp.stack([last_pt, cgoal], axis=0)
-                    ulo, uhi, _ = sfc.construct_sfc_from_hull(
-                        gw_a, slo, shi, hull, wpt,
-                        max_radius_cells=self.sfc_expand_cells)
-                else:
-                    ulo, uhi, _ = sfc.construct_sfc_from_point(
-                        gw_a, slo, shi, last_pt, cgoal,
-                        max_radius_cells=self.sfc_expand_cells)
-                lo = jnp.where(init_done, ulo, ilo)
-                hi = jnp.where(init_done, uhi, ihi)
-                return lo, hi
+                # fused update: init + shift/rebuild expansions run as
+                # LANES of one batched greedy loop (max- instead of
+                # sum-of-trips; ops/sfc.py::update_sfc_fused reproduces
+                # the sequential composition exactly)
+                mode = (
+                    "substep" if substep
+                    else "hull" if p.goal_mode == GoalMode.GRID_BASED_PLANNER
+                    else "point"
+                )
+                return sfc.update_sfc_fused(
+                    gw_a, mode, slo, shi, init_done, last_pt, cgoal,
+                    wpt, pos, ictrl, self.sfc_margin,
+                    max_radius_cells=self.sfc_expand_cells,
+                )
 
             sfc_args = (
                 inp.sfc_lo, inp.sfc_hi,

@@ -173,3 +173,70 @@ def test_chasing_obstacle_moves_toward_goal():
     for t in np.arange(0.1, 2.0, 0.1):
         s = gen.states_at(t)[0]
     assert s.position[0] > 0.1
+
+
+def test_update_sfc_fused_equivalence():
+    """The fused-lane SFC update (one batched greedy loop) must be
+    bit-identical to the sequential composition it replaced
+    (initialize + construct_from_{hull,point}/substep + init select)."""
+    import jax.numpy as jnp
+
+    from lsc_dr_planner_tpu.ops import sfc
+    from lsc_dr_planner_tpu.world.grid import build_grid_world
+
+    rng = np.random.default_rng(0)
+    boxes = []
+    for _ in range(25):
+        c = rng.uniform(-4, 4, 2)
+        boxes.append([c[0], c[1], 0.5, 0.35, 0.35, 1.0])
+    gw = build_grid_world(np.asarray(boxes), [-5, -5, 0], [5, 5, 1],
+                          0.1, 0.15)
+    M = 10
+    for trial in range(6):
+        pos = np.append(rng.uniform(-4.5, 4.5, 2), 0.6).astype(np.float32)
+        last_pt = (pos + np.append(rng.uniform(-0.5, 0.5, 2), 0)).astype(
+            np.float32)
+        cgoal = (pos + np.append(rng.uniform(-1.5, 1.5, 2), 0)).astype(
+            np.float32)
+        wpt = (pos + np.append(rng.uniform(-1.0, 1.0, 2), 0)).astype(
+            np.float32)
+        ictrl = jnp.asarray(
+            np.repeat(np.linspace(pos, cgoal, M)[:, None, :], 6, axis=1),
+            jnp.float32)
+        slo = jnp.asarray(np.tile(
+            np.asarray(gw.point_to_lattice_floor(jnp.asarray(pos))) - 2,
+            (M, 1)))
+        shi = jnp.asarray(np.tile(
+            np.asarray(gw.point_to_lattice_ceil(jnp.asarray(pos))) + 2,
+            (M, 1)))
+        for init_done in (False, True):
+            for mode in ("hull", "point", "substep"):
+                idn = jnp.asarray(init_done)
+                f_lo, f_hi = sfc.update_sfc_fused(
+                    gw, mode, slo, shi, idn, jnp.asarray(last_pt),
+                    jnp.asarray(cgoal), jnp.asarray(wpt),
+                    jnp.asarray(pos), ictrl, 0.15, max_radius_cells=40)
+                ilo, ihi, _ = sfc.initialize_sfc(
+                    gw, jnp.asarray(pos), M, max_radius_cells=40)
+                hull = jnp.stack(
+                    [jnp.asarray(last_pt), jnp.asarray(cgoal)], axis=0)
+                if mode == "substep":
+                    ulo, uhi, _ = sfc.construct_sfc_substep(
+                        gw, slo, shi, hull, jnp.asarray(wpt), ictrl,
+                        0.15, max_radius_cells=40)
+                elif mode == "hull":
+                    ulo, uhi, _ = sfc.construct_sfc_from_hull(
+                        gw, slo, shi, hull, jnp.asarray(wpt),
+                        max_radius_cells=40)
+                else:
+                    ulo, uhi, _ = sfc.construct_sfc_from_point(
+                        gw, slo, shi, jnp.asarray(last_pt),
+                        jnp.asarray(cgoal), max_radius_cells=40)
+                s_lo = jnp.where(idn, ulo, ilo)
+                s_hi = jnp.where(idn, uhi, ihi)
+                np.testing.assert_array_equal(
+                    np.asarray(f_lo), np.asarray(s_lo),
+                    err_msg=f"{trial} {mode} {init_done}")
+                np.testing.assert_array_equal(
+                    np.asarray(f_hi), np.asarray(s_hi),
+                    err_msg=f"{trial} {mode} {init_done}")
