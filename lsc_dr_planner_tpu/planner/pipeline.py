@@ -528,19 +528,21 @@ class FleetPlanner:
             )
             # XLA's TPU gather lowering falls off a cliff at batch 1024
             # exactly (measured: 100 µs/agent flat through A=992, then
-            # 1.6 ms/agent at A=1024 — 16×). Chunk the vmapped stage
-            # through lax.map(batch_size=512) past that threshold; the
-            # sequential 512-wide chunks keep the fast lowering.
-            CHUNK = 512
+            # 1.6 ms/agent at A=1024 — 16×). The fused update expands
+            # n_lanes boxes per agent inside one batched loop, so the
+            # gather batch is A·n_lanes: chunk so chunks stay below the
+            # cliff.
+            n_lanes = (M + 2) if substep else 3
+            CHUNK = max(64, 1 << int(np.floor(np.log2(1000 / n_lanes))))
             if inp.occ_known is None:
-                if A >= 1024:
+                if A * n_lanes >= 1024:
                     new_sfc_lo, new_sfc_hi = jax.lax.map(
                         update_sfc, sfc_args, batch_size=CHUNK
                     )
                 else:
                     new_sfc_lo, new_sfc_hi = jax.vmap(update_sfc)(sfc_args)
             else:
-                if A >= 1024:
+                if A * n_lanes >= 1024:
                     new_sfc_lo, new_sfc_hi = jax.lax.map(
                         lambda aw: update_sfc(aw[0], aw[1]),
                         (sfc_args, inp.occ_known), batch_size=CHUNK,
