@@ -596,11 +596,18 @@ class MultiSyncSimulator:
             cells_goal = [tuple(r) for r in
                           self.coarse.point_to_node(self.desired_goal[garr])[:, :2].tolist()]
 
+            # the all-in-MCP guard must ignore AT-GOAL members: finished
+            # agents return to the flow layer (mcp_mode=False), so a
+            # group containing them would otherwise re-escalate every
+            # waypoint step — each escalation re-syncs waypoints and
+            # invalidates the committed plan before it can execute a
+            # single handoff (measured thrash loop: 458 escalations,
+            # forest10_22 DLSC, the last r4 forest failure)
             if self._layer == "hybrid" and bool(np.any(
                 (pinned_mask[garr]
                  | (self._no_progress[garr] >= NO_PROGRESS_K))
                 & ~at_goal_now[garr]
-            )) and not all(self._mcp_mode[garr]):
+            )) and not all(self._mcp_mode[garr] | at_goal_now[garr]):
                 # sub-step mode: preserve no-progress accrual for members
                 # ALREADY in MCP — bodies lag the virtual waypoints, so
                 # group-membership churn re-escalates often and a full
