@@ -164,13 +164,17 @@ class MonteCarloSimulator:
         inputs = list(self._pool.map(host_phase, active))
         t1 = _time.perf_counter()
 
-        # pad the batch to a power-of-two bucket (≤ S) with repeats of
-        # the last active input; padded lanes' outputs are discarded
+        # pad the batch to a power-of-two bucket with repeats of the
+        # last active input; padded lanes' outputs are discarded. Past
+        # 32 the chunked step needs a multiple of 32 (the bucket is NOT
+        # capped at S: S itself may be non-divisible, e.g. S=40).
         n_act = len(inputs)
         B = 1
         while B < n_act:
             B *= 2
         B = min(B, self.S)
+        if B > 32:
+            B = -(-n_act // 32) * 32
         inputs = inputs + [inputs[-1]] * (B - n_act)
 
         # stack numpy leaves once → one device transfer

@@ -95,3 +95,19 @@ def test_replica_shares_statics_and_matches_fresh_build():
             assert sim.plan()
     np.testing.assert_array_equal(fresh.pos, replica.pos)
     np.testing.assert_array_equal(fresh.desired_ctrl, replica.desired_ctrl)
+
+
+def test_montecarlo_chunked_non_pow2(tmp_path):
+    """S > 32 runs through 32-wide chunks of the flattened S×A QP; a
+    non-divisible scenario count (e.g. 40) must pad its bucket to a
+    multiple of 32 instead of capping at S (regression: reshape error
+    at S=40)."""
+    p = Param(world_use_octomap=False, communication_range=3.0,
+              profile_stages=False, qp_max_iter=60, qp_rescue_iter=80)
+    m = generate_random_mission(3, [-4, -4, 0], [4, 4, 2.5], seed=0)
+    mc = MonteCarloSimulator(p, m, n_scenarios=40, max_noise=0.2,
+                             log_dir=str(tmp_path))
+    for it in range(2):
+        mc.step(it)
+    assert 0.0 <= mc.last_qp_convergence <= 1.0
+    assert all(np.isfinite(sim.pos).all() for sim in mc.sims)
